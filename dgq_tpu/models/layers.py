@@ -1,0 +1,300 @@
+"""Functional NHWC layer primitives with quantization hook points.
+
+TPU-native counterparts of the reference's QuantLayer / Attention_forward
+(/root/reference/quant/quant_layer.py:577-702, diffusers_rewrite/sd.py:101-207):
+
+  * activations flow NHWC so convs tile onto the MXU without layout churn;
+  * weight quantization is NOT applied here — weights arrive already
+    fake-quantized (folded at load time) or materialized by the calibration
+    step, because wq(w) is input-independent;
+  * activation quantizers are applied through `aq_apply` keyed by the
+    reference layer path;
+  * group-mode convs run an explicit c-major im2col so group scales of shape
+    (1, C*kh*kw, 1) / (1, 1, L) broadcast exactly like the reference's
+    unfold+matmul path (quant_layer.py:630-657).
+
+Params are dicts: conv {'w': HWIO, 'b': (O,)}, linear {'w': (I, O), 'b': (O,)},
+norms {'scale': ..., 'bias': ...}.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.models.qconfig import QConfig, QState, aq_apply, softmax_q_apply
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y
+
+
+def conv2d(p, x: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+    """NHWC conv with HWIO weights."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y
+
+
+def unfold_nhwc(x: jax.Array, kh: int, kw: int, stride: int, padding: int) -> jax.Array:
+    """Extract conv patches in torch-F.unfold channel order.
+
+    Input (B, H, W, C) -> output (B, C*kh*kw, L) with the unfolded axis ordered
+    c-major (c, i, j), L = H'*W' row-major — matching torch.nn.functional.unfold
+    on NCHW input so reference group-quant deltas apply verbatim.
+    """
+    b, h, w, c = x.shape
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    taps = []
+    for i in range(kh):
+        for j in range(kw):
+            taps.append(
+                jax.lax.slice(
+                    xp,
+                    (0, i, j, 0),
+                    (b, i + (ho - 1) * stride + 1, j + (wo - 1) * stride + 1, c),
+                    (1, stride, stride, 1),
+                )
+            )
+    # (kh*kw, B, H', W', C) -> (B, C, kh*kw, H'*W') -> (B, C*kh*kw, L)
+    pt = jnp.stack(taps, axis=0)
+    pt = jnp.transpose(pt, (1, 4, 0, 2, 3))
+    return jnp.reshape(pt, (b, c * kh * kw, ho * wo))
+
+
+def conv2d_unfolded(
+    p,
+    x_unf: jax.Array,
+    out_hw: tuple[int, int],
+) -> jax.Array:
+    """Conv as matmul over unfolded input (B, CKK, L) -> NHWC output.
+
+    Weight is reshaped to (CKK, O) in c-major order from HWIO. Equivalent to
+    the reference's input_unfolded_pseudo_conv2d (quant_layer.py:526-574).
+    """
+    kh, kw, c, o = p["w"].shape
+    w_unf = p.get("w_unf")
+    if w_unf is None:
+        # HWIO -> (C, kh, kw, O) -> (CKK, O), c-major to match unfold_nhwc
+        w_unf = jnp.reshape(jnp.transpose(p["w"], (2, 0, 1, 3)), (c * kh * kw, o))
+    y = jnp.einsum(
+        "bkl,ko->blo", x_unf, w_unf.astype(x_unf.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x_unf.dtype)
+    if p.get("b") is not None:
+        y = y + p["b"]
+    b = x_unf.shape[0]
+    ho, wo = out_hw
+    return jnp.reshape(y, (b, ho, wo, o))
+
+
+def quant_conv2d(
+    p,
+    x: jax.Array,
+    name: str,
+    qstate: Optional[QState],
+    cfg: QConfig,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """QuantLayer-conv forward (reference quant_layer.py:626-661).
+
+    Group-mode layers (in cfg.group_conv_layers) quantize the unfolded input;
+    otherwise the activation quantizer applies elementwise pre-conv and the
+    conv runs natively on the MXU.
+    """
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    if name in cfg.group_conv_layers and cfg.use_aq:
+        b, h, w, _ = x.shape
+        ho = (h + 2 * padding - kh) // stride + 1
+        wo = (w + 2 * padding - kw) // stride + 1
+        x_unf = unfold_nhwc(x, kh, kw, stride, padding)
+        x_unf = aq_apply(qstate, cfg, name, x_unf)
+        return conv2d_unfolded(p, x_unf, (ho, wo))
+    x = aq_apply(qstate, cfg, name, x)
+    return conv2d(p, x, stride, padding)
+
+
+def quant_linear(
+    p,
+    x: jax.Array,
+    name: str,
+    qstate: Optional[QState],
+    cfg: QConfig,
+) -> jax.Array:
+    """QuantLayer-linear forward: aqtizer(x) then matmul."""
+    x = aq_apply(qstate, cfg, name, x)
+    return linear(p, x)
+
+
+def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over NHWC (channel-last)."""
+    b, h, w, c = x.shape
+    xg = jnp.reshape(x, (b, h * w, groups, c // groups))
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = jnp.reshape(xg, (b, h, w, c))
+    return x * p["scale"] + p["bias"]
+
+
+def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def timestep_embedding(timesteps: jax.Array, num_channels: int = 320) -> jax.Array:
+    """Sinusoidal timestep projection (reference sd.py:20-39): cos then sin."""
+    half = num_channels // 2
+    exponent = -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    return jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
+
+
+def geglu_ff(p, prefix: str, x: jax.Array, qstate, cfg) -> jax.Array:
+    """GEGLU feed-forward (reference sd.py:210-236): proj -> chunk -> x1*gelu(x2)."""
+    h = quant_linear(p[f"{prefix}.net.0.proj"], x, f"{prefix}.net.0.proj", qstate, cfg)
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    h = x1 * jax.nn.gelu(x2, approximate=False)
+    return quant_linear(p[f"{prefix}.net.2"], h, f"{prefix}.net.2", qstate, cfg)
+
+
+def attention(
+    p,
+    prefix: str,
+    x: jax.Array,
+    ehs: Optional[jax.Array],
+    num_heads: int,
+    qstate: Optional[QState],
+    cfg: QConfig,
+    start_peak: bool = False,
+) -> jax.Array:
+    """Quantization-aware attention (reference Attention_forward, sd.py:151-207).
+
+    Quant points: aqtizer_q on q, aqtizer_k on k (sparing the prompt start
+    token when start_peak), log2/affine aqtizer_w on the float32 post-softmax
+    weights (again sparing key position 0 under start_peak), aqtizer_v on v.
+    """
+    b, t, c = x.shape
+    head_dim = c // num_heads
+    scale = head_dim ** -0.5
+
+    q = quant_linear(p[f"{prefix}.to_q"], x, f"{prefix}.to_q", qstate, cfg)
+    kv_in = ehs if ehs is not None else x
+    k = quant_linear(p[f"{prefix}.to_k"], kv_in, f"{prefix}.to_k", qstate, cfg)
+    v = quant_linear(p[f"{prefix}.to_v"], kv_in, f"{prefix}.to_v", qstate, cfg)
+
+    s = kv_in.shape[1]
+    q = jnp.transpose(jnp.reshape(q, (b, t, num_heads, head_dim)), (0, 2, 1, 3))
+    k = jnp.transpose(jnp.reshape(k, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
+    v = jnp.transpose(jnp.reshape(v, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
+
+    if cfg.use_aq:
+        q = aq_apply(qstate, cfg, f"{prefix}.aqtizer_q", q)
+        if start_peak:
+            k0 = k[..., 0:1, :]
+            k_rest = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k[..., 1:, :])
+            k = jnp.concatenate([k0, k_rest], axis=-2)
+        else:
+            k = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k)
+
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+
+    if cfg.use_aq:
+        if start_peak:
+            a0 = attn[..., 0:1]
+            a_rest = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn[..., 1:])
+            attn = jnp.concatenate([a0, a_rest], axis=-1)
+        else:
+            attn = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn)
+        v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
+
+    attn = attn.astype(v.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=jnp.float32)
+    out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)
+    return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0", qstate, cfg)
+
+
+def basic_transformer_block(
+    p,
+    prefix: str,
+    x: jax.Array,
+    ehs: Optional[jax.Array],
+    num_heads: int,
+    qstate,
+    cfg: QConfig,
+) -> jax.Array:
+    """Self-attn -> cross-attn -> GEGLU FF, each residual (reference sd.py:239-270).
+
+    start_peak applies only to attn2, the cross attention
+    (reference quant_block.py:157-158).
+    """
+    res = x
+    h = layer_norm(p[f"{prefix}.norm1"], x)
+    x = attention(p, f"{prefix}.attn1", h, None, num_heads, qstate, cfg) + res
+
+    res = x
+    h = layer_norm(p[f"{prefix}.norm2"], x)
+    x = attention(
+        p, f"{prefix}.attn2", h, ehs, num_heads, qstate, cfg,
+        start_peak=cfg.t2i_start_peak,
+    ) + res
+
+    res = x
+    h = layer_norm(p[f"{prefix}.norm3"], x)
+    return geglu_ff(p, f"{prefix}.ff", h, qstate, cfg) + res
+
+
+def resnet_block(
+    p,
+    prefix: str,
+    x: jax.Array,
+    temb: jax.Array,
+    qstate,
+    cfg: QConfig,
+    has_shortcut: bool,
+) -> jax.Array:
+    """ResnetBlock2D (reference sd.py:57-98), NHWC."""
+    h = group_norm(p[f"{prefix}.norm1"], x)
+    h = silu(h)
+    h = quant_conv2d(p[f"{prefix}.conv1"], h, f"{prefix}.conv1", qstate, cfg, 1, 1)
+
+    te = silu(temb)
+    te = quant_linear(p[f"{prefix}.time_emb_proj"], te, f"{prefix}.time_emb_proj", qstate, cfg)
+    h = h + te[:, None, None, :]
+
+    h = group_norm(p[f"{prefix}.norm2"], h)
+    h = silu(h)
+    h = quant_conv2d(p[f"{prefix}.conv2"], h, f"{prefix}.conv2", qstate, cfg, 1, 1)
+
+    if has_shortcut:
+        x = quant_conv2d(p[f"{prefix}.conv_shortcut"], x, f"{prefix}.conv_shortcut", qstate, cfg, 1, 0)
+    return x + h
+
+
+def upsample_nearest2x(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return jnp.reshape(x, (b, h * 2, w * 2, c))

@@ -1,0 +1,115 @@
+"""Quantization configuration and runtime quantizer state.
+
+The reference wires quantizers by runtime module surgery
+(/root/reference/quant/quant_model.py:66-103) and toggles them with mutable
+flags. Here the split is explicit and jit-friendly:
+
+  * QConfig — static, hashable: bit widths, which quantizer families are
+    active, softmax-quantizer policy. Changing it triggers a re-trace.
+  * QState — dynamic pytree: per-layer activation QParams (and optional
+    per-timestep stacks), weight QParams/AdaRound alphas during calibration.
+
+Layer names follow the reference state-dict paths (e.g.
+"down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q") so checkpoint
+mapping is mechanical.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+
+from dgq_tpu.quant.affine import QParams, fake_quant
+from dgq_tpu.quant.log2 import log2_fake_quant, log2_real_time_quant
+
+
+@dataclasses.dataclass(frozen=True)
+class QConfig:
+    """Static quantization policy (hashable; safe as a jit static arg)."""
+
+    w_bits: int = 4
+    a_bits: int = 8
+    softmax_bits: int = 8
+    use_wq: bool = False
+    use_aq: bool = False
+    # cross-attention softmax handling (reference quant_block.py:145-158)
+    t2i_log_quant: bool = False
+    t2i_real_time: bool = False
+    t2i_start_peak: bool = False
+    log_max_1: bool = False
+    # conv_in / conv_out are excluded from quantization
+    # (reference quant_model.py:118-124)
+    disable_out_quant: bool = True
+    # group-mode conv layers (im2col activation quant) — tuple of layer names,
+    # derived from loaded checkpoint delta shapes; static so each conv's path
+    # is fixed at trace time.
+    group_conv_layers: tuple = ()
+
+    def replace(self, **kw) -> "QConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# QState is a plain dict pytree:
+#   {
+#     'a':  {layer_name: QParams}            # activation quantizers
+#     'sm': {attn_name: delta}               # static log2/uniform softmax deltas
+#   }
+# Per-timestep variants stack a leading [T] axis on every leaf and are indexed
+# with jax.tree.map(lambda x: x[slot], qstate) inside the denoising scan.
+QState = Dict[str, Any]
+
+
+def aq_apply(
+    qstate: Optional[QState],
+    cfg: QConfig,
+    name: str,
+    x: jax.Array,
+) -> jax.Array:
+    """Apply the activation quantizer registered for `name`, if any.
+
+    Mirrors QuantLayer.forward's `aqtizer(x)` (reference quant_layer.py:640-641)
+    including group-quant broadcasting: delta of shape (1,1,C) / (1,C,1)
+    broadcasts against (..., M, C) activations.
+    """
+    if not cfg.use_aq or qstate is None:
+        return x
+    qp = qstate.get("a", {}).get(name)
+    if qp is None:
+        return x
+    # Broadcast trailing-shaped group params against higher-rank activations.
+    delta, zp = qp.delta, qp.zero_point
+    if delta.ndim > 0 and delta.ndim < x.ndim:
+        shape = (1,) * (x.ndim - delta.ndim) + delta.shape
+        delta = delta.reshape(shape)
+        zp = zp.reshape(shape)
+    return fake_quant(x, QParams(delta, zp), cfg.a_bits)
+
+
+def softmax_q_apply(
+    qstate: Optional[QState],
+    cfg: QConfig,
+    name: str,
+    attn_weights: jax.Array,
+) -> jax.Array:
+    """Quantize post-softmax attention weights (aqtizer_w).
+
+    Policy per reference quant_block.py:145-156: log2 quantizer when
+    t2i_log_quant (dynamic per-call max when t2i_real_time, else a calibrated
+    delta), otherwise a uniform always_zero affine quantizer.
+    """
+    if not cfg.use_aq or qstate is None:
+        return attn_weights
+    if cfg.t2i_log_quant:
+        if cfg.t2i_real_time:
+            return log2_real_time_quant(attn_weights, cfg.softmax_bits)
+        delta = qstate.get("sm", {}).get(name)
+        if delta is None:
+            return attn_weights
+        if cfg.log_max_1:
+            delta = jax.numpy.ones_like(delta)
+        return log2_fake_quant(attn_weights, delta, cfg.softmax_bits)
+    qp = qstate.get("a", {}).get(name)
+    if qp is None:
+        return attn_weights
+    return fake_quant(attn_weights, qp, cfg.softmax_bits, always_zero=True)

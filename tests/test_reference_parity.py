@@ -1,0 +1,174 @@
+"""Numerical parity vs the upstream DGQ reference (if mounted at
+/root/reference). These tests import the reference's torch quantizers and
+compare our JAX implementations on random tensors. Skipped when the reference
+checkout or torch is unavailable — the golden-value tests in
+test_quant_core.py still cover the math standalone.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REF, "quant")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from quant.quant_layer import (  # noqa: E402  (reference import)
+    UniformAffineQuantizer,
+    Scaler as RefScaler,
+    minmax as ref_minmax,
+    mse as ref_mse,
+)
+from quant.quant_layer_text import T2ILogQuantizer  # noqa: E402
+from quant.adaptive_rounding import AdaRoundQuantizer, RMODE  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from dgq_tpu.quant import (  # noqa: E402
+    QParams,
+    Scaler,
+    adaround_init_alpha,
+    adaround_quant,
+    fake_quant,
+    init_scale,
+    init_scale_channelwise,
+    log2_fake_quant,
+    log2_init_delta,
+)
+
+
+def rand(*shape, seed=0, scale=1.0, positive=False):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(*shape).astype(np.float32) * scale
+    if positive:
+        x = np.abs(x) + 1e-4
+    return x
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_minmax_parity(seed, bits, symmetric):
+    x = rand(256, seed=seed)
+    rd, rz = ref_minmax(torch.from_numpy(x), symmetric, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.MINMAX, symmetric=symmetric)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-6)
+    rz = float(rz) if not torch.is_tensor(rz) else float(rz)
+    assert np.isclose(float(qp.zero_point), rz, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("bits", [4, 8])
+def test_mse_parity(seed, bits):
+    x = rand(512, seed=seed, scale=2.0)
+    rd, rz = ref_mse(torch.from_numpy(x), False, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.MSE)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-5)
+    assert np.isclose(float(qp.zero_point), float(rz), rtol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("channel_wise", [False, True])
+def test_uniform_quantizer_forward_parity(bits, channel_wise):
+    x = rand(8, 16, seed=3)
+    ref_q = UniformAffineQuantizer(
+        bits=bits, symmetric=False, channel_wise=channel_wise, scaler=RefScaler.MINMAX
+    )
+    with torch.no_grad():
+        ref_out = ref_q(torch.from_numpy(x)).numpy()
+    if channel_wise:
+        qp = init_scale_channelwise(jnp.asarray(x), bits, Scaler.MINMAX)
+    else:
+        qp = init_scale(jnp.asarray(x), bits, Scaler.MINMAX)
+    ours = np.asarray(fake_quant(jnp.asarray(x), qp, bits))
+    assert np.allclose(ours, ref_out, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [6, 8])
+def test_log2_quantizer_parity(bits):
+    x = rand(4, 8, 77, seed=4, positive=True)
+    x = x / x.max()  # softmax-like, in (0, 1]
+    ref_q = T2ILogQuantizer(bits=bits, always_zero=True)
+    with torch.no_grad():
+        ref_out = ref_q(torch.from_numpy(x)).numpy()
+    d = log2_init_delta(jnp.asarray(x), bits)
+    assert np.isclose(float(d), float(ref_q.delta), rtol=1e-4)
+    ours = np.asarray(log2_fake_quant(jnp.asarray(x), d, bits))
+    # XLA's log2 and libm's log2 can differ by ~1 ulp; values landing within
+    # float error of a rounding boundary (-log2 ~ k+0.5) may flip to the
+    # neighboring bin. Require exactness away from boundaries and allow only
+    # factor-of-2 neighbor-bin flips at boundaries, for <0.5% of elements.
+    mism = ~np.isclose(ours, ref_out, atol=1e-5)
+    assert mism.mean() < 0.005
+    if mism.any():
+        ratio = ours[mism] / ref_out[mism]
+        assert np.all((np.isclose(ratio, 2.0)) | (np.isclose(ratio, 0.5)))
+        boundary = -np.log2(x[mism] / float(d))
+        assert np.all(np.abs(boundary - np.round(boundary - 0.5) - 0.5) < 1e-3)
+
+
+def test_adaround_parity_hard_and_soft():
+    w = rand(16, 32, seed=5, scale=0.1)
+    ref_u = UniformAffineQuantizer(bits=4, channel_wise=True, scaler=RefScaler.MINMAX)
+    with torch.no_grad():
+        _ = ref_u(torch.from_numpy(w))  # lazy init
+    ref_a = AdaRoundQuantizer(ref_u, torch.from_numpy(w), RMODE.LEARNED_HARD_SIGMOID)
+
+    qp = init_scale_channelwise(jnp.asarray(w), 4, Scaler.MINMAX)
+    assert np.allclose(np.asarray(qp.delta), ref_u.delta.numpy(), rtol=1e-6)
+    alpha = adaround_init_alpha(jnp.asarray(w), qp.delta)
+    assert np.allclose(np.asarray(alpha), ref_a.alpha.detach().numpy(), atol=1e-4)
+
+    # hard rounding
+    with torch.no_grad():
+        ref_hard = ref_a(torch.from_numpy(w)).numpy()
+    ours_hard = np.asarray(adaround_quant(jnp.asarray(w), qp, alpha, 4, soft=False))
+    assert np.allclose(ours_hard, ref_hard, atol=1e-5)
+
+    # soft rounding
+    ref_a.soft_tgt = True
+    with torch.no_grad():
+        ref_soft = ref_a(torch.from_numpy(w)).numpy()
+    ours_soft = np.asarray(adaround_quant(jnp.asarray(w), qp, alpha, 4, soft=True))
+    assert np.allclose(ours_soft, ref_soft, atol=1e-5)
+
+
+def test_group_quant_parity_full_flow():
+    """End-to-end group path: record stats over batches -> kmeans -> qparams,
+    vs the reference quantizer's record_min_max_ema + done_group_num."""
+    from dgq_tpu.quant.groups import (
+        init_group_stats,
+        kmeans_group_qparams,
+        update_group_stats,
+    )
+
+    batches = [rand(2, 6, 16, seed=10 + i) for i in range(3)]
+    # amplify some channels so grouping is meaningful
+    for b in batches:
+        b[..., 8:] *= 15.0
+
+    ref_q = UniformAffineQuantizer(bits=8, scaler=RefScaler.MINMAX, leaf_param=True)
+    with torch.no_grad():
+        _ = ref_q(torch.from_numpy(batches[0]))  # lazy init
+    ref_q.group_num = 4
+    with torch.no_grad():
+        for b in batches:
+            ref_q.record_min_max_ema(torch.from_numpy(b))
+    ref_q.delta = torch.nn.Parameter(torch.zeros(1))
+    ref_q.zero_point = torch.nn.Parameter(torch.zeros(1))
+    ref_delta, ref_zp = ref_q.done_group_num(4, "minmax")
+
+    stats = init_group_stats(batches[0].shape)
+    for b in batches:
+        stats = update_group_stats(stats, jnp.asarray(b))
+    qp, labels, in_wise = kmeans_group_qparams(stats, group_num=4, level=256)
+
+    assert np.asarray(qp.delta).shape == tuple(ref_delta.shape)
+    assert np.allclose(np.asarray(qp.delta), ref_delta.numpy(), rtol=1e-5)
+    assert np.allclose(np.asarray(qp.zero_point), ref_zp.numpy(), rtol=1e-5)
