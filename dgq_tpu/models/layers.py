@@ -163,10 +163,16 @@ def silu(x: jax.Array) -> jax.Array:
 
 
 def timestep_embedding(timesteps: jax.Array, num_channels: int = 320) -> jax.Array:
-    """Sinusoidal timestep projection (reference sd.py:20-39): cos then sin."""
+    """Sinusoidal timestep projection (reference sd.py:20-39): cos then sin.
+
+    Arguments reach ~1000 rad; XLA's f32 trig loses ~1e-3 there without help,
+    so reduce mod 2*pi first (keeps us within ~1e-4 of libm).
+    """
     half = num_channels // 2
     exponent = -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
     emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    two_pi = 2.0 * jnp.pi
+    emb = emb - two_pi * jnp.floor(emb / two_pi)
     return jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
 
 

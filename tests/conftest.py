@@ -2,10 +2,21 @@
 tests work without TPU hardware, and keep compiles fast/deterministic."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), whose handshake costs minutes per process and serializes runs.
+# sitecustomize imports jax before this file runs, so setting the env var is
+# not enough — update the live config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compile cache keeps repeated full-model test runs fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgq_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,222 @@
+"""SD UNet structural tests + numerical parity vs the reference torch blocks."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.models.layers import (
+    group_norm,
+    layer_norm,
+    resnet_block,
+    basic_transformer_block,
+    timestep_embedding,
+    unfold_nhwc,
+)
+from dgq_tpu.models.unet_sd import (
+    init_unet_sd,
+    sd_unet_spec,
+    quantizable_layers,
+    unet_sd_apply,
+)
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "diffusers_rewrite"))
+
+
+def test_spec_counts():
+    spec = sd_unet_spec()
+    names = [n for n, _, _ in spec]
+    assert len(names) == len(set(names))
+    qls = quantizable_layers(spec)
+    # reference wraps every Conv2d/Linear; the SD v1.4 rewritten UNet has 282
+    # (verified against the reference model's module count)
+    assert len(qls) == 282, len(qls)
+
+
+def test_param_count_matches_sd14():
+    n = 0
+    for name, kind, meta in sd_unet_spec():
+        if kind == "conv":
+            cin, cout, k, _, _ = meta
+            n += cin * cout * k * k + cout
+        elif kind == "linear":
+            cin, cout, bias = meta
+            n += cin * cout + (cout if bias else 0)
+        else:
+            (c,) = meta
+            n += 2 * c
+    # reference SD v1.4 UNet: 859.52M parameters (counted from the torch model)
+    assert n == 859_520_964, n
+
+
+def test_unet_forward_tiny_shapes():
+    # full architecture at a reduced latent size (UNet is fully convolutional)
+    key = jax.random.PRNGKey(0)
+    params = init_unet_sd(key)
+    sample = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 4))
+    t = jnp.asarray([500], jnp.int32)
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768))
+    out = unet_sd_apply(params, sample, t, ehs)
+    assert out.shape == (1, 32, 32, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+class TestBlockParity:
+    def setup_method(self):
+        import torch  # noqa
+        from ref_shim import install_diffusers_shim
+
+        install_diffusers_shim()
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        os.environ["DIFFUSERS_REWRITE"] = "sd"
+
+    def test_timesteps_parity(self):
+        import torch
+        from diffusers_rewrite.sd import Timesteps
+
+        t = np.asarray([1, 250, 999], np.float32)
+        ref = Timesteps(320)(torch.from_numpy(t)).numpy()
+        ours = np.asarray(timestep_embedding(jnp.asarray(t), 320))
+        # f32 trig at ~1000 rad: XLA vs libm differ ~1e-4 even after range
+        # reduction; well under quantization noise.
+        assert np.allclose(ours, ref, atol=5e-4)
+
+    def test_groupnorm_parity(self):
+        import torch
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 64, 8, 8).astype(np.float32)  # NCHW
+        gn = torch.nn.GroupNorm(32, 64, eps=1e-5)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(rng.randn(64).astype(np.float32)))
+            gn.bias.copy_(torch.from_numpy(rng.randn(64).astype(np.float32)))
+            ref = gn(torch.from_numpy(x)).numpy()
+        p = {"scale": jnp.asarray(gn.weight.detach().numpy()),
+             "bias": jnp.asarray(gn.bias.detach().numpy())}
+        ours = group_norm(p, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        assert np.allclose(np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, atol=1e-4)
+
+    def test_unfold_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 5, 9, 9).astype(np.float32)  # NCHW
+        for k, s, pad in [(3, 1, 1), (3, 2, 1), (1, 1, 0)]:
+            ref = F.unfold(torch.from_numpy(x), kernel_size=k, stride=s, padding=pad).numpy()
+            ours = np.asarray(
+                unfold_nhwc(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), k, k, s, pad)
+            )
+            assert ours.shape == ref.shape
+            assert np.allclose(ours, ref, atol=1e-6), (k, s, pad)
+
+    def _convert_resnet(self, ref, prefix):
+        from dgq_tpu.io.convert import conv_w_to_jax, linear_w_to_jax
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        p = {}
+        for tname, ours_kind in [
+            ("norm1", "norm"), ("conv1", "conv"), ("time_emb_proj", "linear"),
+            ("norm2", "norm"), ("conv2", "conv"), ("conv_shortcut", "conv"),
+        ]:
+            if f"{tname}.weight" not in sd:
+                continue
+            w = sd[f"{tname}.weight"]
+            if ours_kind == "conv":
+                p[f"{prefix}.{tname}"] = {"w": conv_w_to_jax(w), "b": jnp.asarray(sd[f"{tname}.bias"])}
+            elif ours_kind == "linear":
+                p[f"{prefix}.{tname}"] = {"w": linear_w_to_jax(w), "b": jnp.asarray(sd[f"{tname}.bias"])}
+            else:
+                p[f"{prefix}.{tname}"] = {"scale": jnp.asarray(w), "bias": jnp.asarray(sd[f"{tname}.bias"])}
+        return p
+
+    def test_resnet_block_parity(self):
+        import torch
+        from diffusers_rewrite.sd import ResnetBlock2D
+
+        torch.manual_seed(0)
+        ref = ResnetBlock2D(64, 128, conv_shortcut=True).eval()
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 64, 8, 8).astype(np.float32)
+        temb = rng.randn(2, 1280).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), torch.from_numpy(temb)).numpy()
+
+        p = self._convert_resnet(ref, "rb")
+        ours = resnet_block(
+            p, "rb", jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(temb), None, QConfig(), has_shortcut=True,
+        )
+        ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+        assert np.allclose(ours, ref_out, atol=2e-4), np.abs(ours - ref_out).max()
+
+    def test_transformer_block_parity(self):
+        import torch
+        from diffusers_rewrite.sd import BasicTransformerBlock
+        from dgq_tpu.io.convert import linear_w_to_jax
+
+        torch.manual_seed(1)
+        ref = BasicTransformerBlock(64).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        p = {}
+        for k in list(sd):
+            if not k.endswith(".weight"):
+                continue
+            base = k[: -len(".weight")]
+            b = sd.get(f"{base}.bias")
+            if "norm" in base:
+                p[f"tb.{base}"] = {"scale": jnp.asarray(sd[k]), "bias": jnp.asarray(b)}
+            else:
+                p[f"tb.{base}"] = {
+                    "w": linear_w_to_jax(sd[k]),
+                    "b": jnp.asarray(b) if b is not None else None,
+                }
+        # reference names to_out.0 via ModuleList; ours expects attnX.to_out.0
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 16, 64).astype(np.float32)
+        ehs = rng.randn(2, 77, 768).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), encoder_hidden_states=torch.from_numpy(ehs)).numpy()
+        ours = basic_transformer_block(
+            p, "tb", jnp.asarray(x), jnp.asarray(ehs), 8, None, QConfig()
+        )
+        assert np.allclose(np.asarray(ours), ref_out, atol=2e-4), np.abs(np.asarray(ours) - ref_out).max()
+
+
+@pytest.mark.skipif(
+    not (HAS_REF and os.environ.get("RUN_SLOW")), reason="slow; set RUN_SLOW=1"
+)
+def test_full_unet_parity():
+    """Full SD v1.4 UNet, random torch init, converted to JAX: outputs match."""
+    import torch
+    from ref_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    os.environ["DIFFUSERS_REWRITE"] = "sd"
+    from diffusers_rewrite.sd import UNet2DConditionModel
+    from dgq_tpu.io.convert import torch_unet_to_params
+
+    torch.manual_seed(0)
+    ref = UNet2DConditionModel().eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = torch_unet_to_params(state, sd_unet_spec())
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 64, 64).astype(np.float32)
+    t = np.asarray([500], np.int64)
+    ehs = rng.randn(1, 77, 768).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(ehs))[0].numpy()
+    ours = unet_sd_apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t), jnp.asarray(ehs)
+    )
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    assert np.allclose(ours, ref_out, atol=5e-3), np.abs(ours - ref_out).max()
