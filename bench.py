@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""DGQ-TPU headline benchmark: SD v1.4 W4A8 images/sec/chip, 50-step DDIM,
+512px (64x64 latents), CFG on — the BASELINE.json north-star metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+The quantized configuration is the deploy path: W4 weights fake-quant folded
+at load, A8 per-tensor time-aware activation quantizers, real-time log2
+softmax quantization in every attention (the DGQ g>1 trick policy,
+scripts/quantize_act.sh:16-25 in the reference). Weights are random — image
+throughput does not depend on weight values.
+
+vs_baseline: the reference repo records no wall-clock numbers (BASELINE.md).
+We compare against an estimated NVIDIA A6000 fp16 SD v1.4 throughput of
+0.20 img/s for 50-step 512px single-image generation (~10 UNet it/s with CFG)
+— the reference's fake-quant torch path is slower than this, so the estimate
+is conservative in the reference's favor.
+"""
+import argparse
+import json
+import sys
+import time
+
+A6000_REF_IMGS_PER_SEC = 0.20
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-time-aware", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dgq_tpu.calib.act_calib import act_qpoint_names
+    from dgq_tpu.calib.weight_calib import quantize_model_weights
+    from dgq_tpu.models.qconfig import QConfig
+    from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec
+    from dgq_tpu.pipeline.sampler import sd_sample
+    from dgq_tpu.quant.affine import QParams
+    from dgq_tpu.quant.scalers import Scaler
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    spec = sd_unet_spec()
+    params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec)
+
+    cfg = QConfig(
+        w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
+        t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
+    )
+    t0 = time.perf_counter()
+    params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+    params_q = jax.tree.map(
+        lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
+        params_q, is_leaf=lambda x: x is None,
+    )
+    params_q = jax.device_put(params_q)
+    jax.block_until_ready(params_q)
+    print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # synthetic A8 activation qparams (throughput is value-independent)
+    t_slots = args.steps
+    time_aware = not args.no_time_aware
+
+    def mk_qp():
+        shape = (t_slots,) if time_aware else ()
+        return QParams(
+            delta=jnp.full(shape, 0.05, dtype),
+            zero_point=jnp.full(shape, 128.0, dtype),
+        )
+
+    qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
+
+    b = args.batch
+    latents = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4), dtype)
+    ehs_t = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 768), dtype)
+    ehs_u = jax.random.normal(jax.random.PRNGKey(3), (b, 77, 768), dtype)
+
+    import functools
+    run = jax.jit(functools.partial(
+        sd_sample,
+        num_inference_steps=args.steps,
+        scheduler=args.scheduler,
+        guidance_scale=7.5,
+        cfg=cfg,
+        time_aware=time_aware,
+    ))
+
+    t0 = time.perf_counter()
+    out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = b / best
+    print(f"times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"sd14_w4a8_images_per_sec_per_chip_{args.steps}step_512px",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / A6000_REF_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

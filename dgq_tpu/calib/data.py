@@ -1,0 +1,103 @@
+"""Calibration data generation.
+
+Mirrors /root/reference/src/dataset_generation.py: run the FP sampling loop
+and capture the exact (CFG-doubled, scheduler-scaled) UNet inputs per step,
+then rearrange by timestep so chunk t holds every prompt's latents at
+denoising step t.
+
+The reference captures via pipeline step-end callbacks; here the scanned
+sampler's `capture=True` stacks the per-call (latent_model_input, timestep)
+directly from the compiled loop — the data is identical by construction
+because it is the same tensor fed to the UNet.
+
+Caching: a .npz per (model, steps, n_prompts, seed), counterpart of the
+reference's torch.save cache (dataset_generation.py:54-56).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.pipeline.sampler import sd_sample
+
+
+def generate_sd_cali_data(
+    params: dict,
+    ehs_text: jax.Array,
+    ehs_uncond: jax.Array,
+    steps: int = 25,
+    scheduler: str = "pndm",
+    guidance_scale: float = 7.5,
+    latent_hw: int = 64,
+    seed: int = 42,
+    batch_size: int = 8,
+    cache_path: Optional[str] = None,
+    unet_apply=None,
+):
+    """Returns (cali_data, interval): cali_data = (lmi, t, ehs) arrays ordered
+    by timestep chunk; interval = n_prompts * 2 (CFG doubling,
+    dataset_generation.py:129-133,151-154).
+
+    ehs_text/ehs_uncond: (N, 77, C) prompt embeddings (from the CLIP text
+    encoder, or synthetic for smoke calibration).
+    """
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return (jnp.asarray(z["lmi"]), jnp.asarray(z["t"]), jnp.asarray(z["ehs"])), int(z["interval"])
+
+    n = ehs_text.shape[0]
+    kw = {}
+    if unet_apply is not None:
+        kw["unet_apply"] = unet_apply
+    lmis, ts, ehss = [], [], []
+    for i in range(0, n, batch_size):
+        et = ehs_text[i : i + batch_size]
+        eu = ehs_uncond[i : i + batch_size]
+        b = et.shape[0]
+        latents = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(seed), i),
+            (b, latent_hw, latent_hw, 4),
+        )
+        _, (lmi, t) = sd_sample(
+            params, latents, et, eu, num_inference_steps=steps,
+            scheduler=scheduler, guidance_scale=guidance_scale,
+            capture=True, **kw,
+        )
+        # lmi: (T_calls, 2b, H, W, C); t: (T_calls,)
+        lmis.append(np.asarray(lmi))
+        ts.append(np.asarray(t))
+        ehss.append(np.concatenate([np.asarray(eu), np.asarray(et)], axis=0))
+
+    t_calls = lmis[0].shape[0]
+    # rearrange by timestep: chunk t = concat over prompt batches
+    lmi_by_t = [np.concatenate([x[ti] for x in lmis], axis=0) for ti in range(t_calls)]
+    ehs_by_t = [np.concatenate(ehss, axis=0) for _ in range(t_calls)]
+    t_by_t = [
+        np.full((lmi_by_t[ti].shape[0],), ts[0][ti], np.int32) for ti in range(t_calls)
+    ]
+    lmi_all = np.concatenate(lmi_by_t, axis=0)
+    t_all = np.concatenate(t_by_t, axis=0)
+    ehs_all = np.concatenate(ehs_by_t, axis=0)
+    interval = 2 * n
+
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        np.savez(cache_path, lmi=lmi_all, t=t_all, ehs=ehs_all, interval=interval)
+    return (jnp.asarray(lmi_all), jnp.asarray(t_all), jnp.asarray(ehs_all)), interval
+
+
+def synthetic_prompt_embeddings(
+    n: int, seq: int = 77, dim: int = 768, seed: int = 0
+) -> tuple[jax.Array, jax.Array]:
+    """Stand-in prompt embeddings for calibration smoke runs when no CLIP
+    weights are available (zero-egress environments). Shaped/scaled like CLIP
+    hidden states."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    text = jax.random.normal(k1, (n, seq, dim))
+    uncond = jnp.broadcast_to(jax.random.normal(k2, (1, seq, dim)), (n, seq, dim))
+    return text, uncond

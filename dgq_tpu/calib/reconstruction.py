@@ -1,0 +1,271 @@
+"""AdaRound block/layer reconstruction (BRECQ-style weight calibration).
+
+Mirrors /root/reference/quant/reconstruction.py + calibration.py:100-206:
+walk the UNet's reconstruction units (ResnetBlock2D / BasicTransformerBlock as
+blocks, standalone conv/linear as layers), and for each unit optimize AdaRound
+alphas for `iters` Adam steps against the FP unit outputs, inputs taken from
+the quantized prefix network (asym mode, data_utill.py:146-157).
+
+TPU-native re-design:
+  * capture-by-DCE: a jitted forward that returns only `record[unit]` lets XLA
+    dead-code-eliminate everything downstream — the compiled analogue of the
+    reference's StopForwardException early exit;
+  * the FP outputs of ALL units are captured in one pass (they never change);
+    the quantized-prefix pass is re-run per unit as earlier units' alphas
+    freeze (hard rounding), preserving the reference's sequential semantics;
+  * the inner optimization is an optax Adam step under `lax.scan` — 20k iters
+    compile to one XLA while-loop instead of 20k Python steps;
+  * data parallelism: shard the cached activations over a mesh 'dp' axis and
+    jit does the gradient averaging via GSPMD (replaces linklink allreduce,
+    reconstruction.py:73-77).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dgq_tpu.models.layers import basic_transformer_block, quant_conv2d, quant_linear, resnet_block
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.models.unet_sd import NUM_HEADS, unet_sd_apply
+from dgq_tpu.quant.adaround import (
+    adaround_init_alpha,
+    adaround_quant,
+    linear_temp_decay,
+    rounding_reg_loss,
+)
+from dgq_tpu.quant.affine import QParams
+from dgq_tpu.calib.weight_calib import EXCLUDED_LAYERS, fold_weight_quant
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconUnit:
+    kind: str          # 'resnet' | 'transformer' | 'layer'
+    name: str          # record key / layer name
+    layers: tuple      # quantizable sublayer names
+    meta: tuple = ()   # for 'layer': (layer_kind, conv meta)
+    sum_axis: int = -1  # reference lp_loss sums torch-axis 1; see recon_units
+
+
+def recon_units(spec) -> list[ReconUnit]:
+    """Enumerate reconstruction units in forward-execution order.
+
+    (The reference walks module-definition order, reconstructing a block's
+    attentions before its resnets — quality-equivalent; execution order keeps
+    the asym quantized-prefix semantics cleanest.)
+    """
+    qlayers = [(n, k, m) for n, k, m in spec if k in ("conv", "linear")]
+    units: list[ReconUnit] = []
+    seen = set()
+
+    def block_prefix(name):
+        for marker in (".resnets.", ".transformer_blocks."):
+            if marker in name:
+                head, tail = name.split(marker, 1)
+                idx = tail.split(".", 1)[0]
+                return head + marker + idx, ("resnet" if marker == ".resnets." else "transformer")
+        return None, None
+
+    for name, kind, meta in qlayers:
+        prefix, bkind = block_prefix(name)
+        if prefix is None:
+            if name in EXCLUDED_LAYERS:
+                continue  # conv_in/conv_out: quantization disabled, skip recon
+            sum_axis = 1 if kind == "linear" else -1
+            # time-embedding linears act on 2D (B,C): torch sum(1) == ours -1
+            if name.startswith("time_embedding"):
+                sum_axis = -1
+            units.append(ReconUnit("layer", name, (name,), (kind, meta), sum_axis))
+        elif prefix not in seen:
+            seen.add(prefix)
+            sub = [n for n, k, m in qlayers if n.startswith(prefix + ".")]
+            # resnet NCHW: torch sum(1)=C -> ours -1; transformer (B,T,C):
+            # torch sum(1)=T -> ours 1
+            sum_axis = -1 if bkind == "resnet" else 1
+            units.append(ReconUnit(bkind, prefix, tuple(sub), (), sum_axis))
+    return units
+
+
+def make_unit_apply(unit: ReconUnit, cfg: QConfig) -> Callable:
+    """Pure apply fn (params, *inputs) -> output for one unit."""
+    if unit.kind == "resnet":
+        has_shortcut = any(l.endswith("conv_shortcut") for l in unit.layers)
+        return lambda p, x, temb: resnet_block(
+            p, unit.name, x, temb, None, cfg, has_shortcut)
+    if unit.kind == "transformer":
+        return lambda p, x, ehs: basic_transformer_block(
+            p, unit.name, x, ehs, NUM_HEADS, None, cfg)
+    lkind, meta = unit.meta
+    if lkind == "conv":
+        _, _, k, stride, pad = meta
+        return lambda p, x: quant_conv2d(p[unit.name], x, unit.name, None, cfg, stride, pad)
+    return lambda p, x: quant_linear(p[unit.name], x, unit.name, None, cfg)
+
+
+@partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))
+def _capture_jit(params, sample, t, ehs, unit_name: str, cfg: QConfig, unet_apply):
+    rec: dict = {}
+    unet_apply(params, sample, t, ehs, qstate=None, cfg=cfg, record=rec)
+    return rec[unit_name]
+
+
+def capture_unit_io(
+    params: dict,
+    cali_batch: tuple,
+    unit_name: str,
+    cfg: QConfig,
+    unet_apply=unet_sd_apply,
+):
+    """Run the UNet on one calibration batch and return (inputs, output) of
+    `unit_name`. Everything after the unit is DCE'd by XLA (the compiled
+    analogue of the reference's StopForwardException early exit)."""
+    return _capture_jit(params, *cali_batch, unit_name=unit_name, cfg=cfg,
+                        unet_apply=unet_apply)
+
+
+def _sub_params(params: dict, unit: ReconUnit) -> dict:
+    """All param entries a unit's apply touches (incl. its norms)."""
+    if unit.kind == "layer":
+        return {unit.name: params[unit.name]}
+    return {k: v for k, v in params.items() if k.startswith(unit.name + ".")}
+
+
+def reconstruct_unit(
+    key: jax.Array,
+    unit: ReconUnit,
+    params: dict,
+    wqp: Dict[str, QParams],
+    cached_inputs: tuple,
+    cached_outputs: jax.Array,
+    cfg: QConfig,
+    iters: int = 20000,
+    batch_size: int = 32,
+    w: float = 0.01,
+    warmup: float = 0.2,
+    p_norm: float = 2.0,
+    lr: float = 1e-3,
+) -> Dict[str, jax.Array]:
+    """Optimize AdaRound alphas for one unit. Returns {layer_name: alpha}.
+
+    Loss = Lp reconstruction (sum over unit.sum_axis, then mean — reference
+    reconstruction_util.py:52) + temperature-annealed rounding regularizer
+    active after `warmup * iters` steps (reference :63-83).
+    """
+    apply_fn = make_unit_apply(unit, cfg)
+    sub = _sub_params(params, unit)
+    alphas = {
+        n: adaround_init_alpha(params[n]["w"], wqp[n].delta) for n in unit.layers
+    }
+    opt = optax.adam(lr)
+    opt_state = opt.init(alphas)
+    n_samples = cached_outputs.shape[0]
+
+    def loss_fn(alphas, binputs, bout, step):
+        pq = dict(sub)
+        for n in unit.layers:
+            pq[n] = dict(sub[n])
+            pq[n]["w"] = adaround_quant(
+                params[n]["w"], wqp[n], alphas[n], cfg.w_bits, soft=True
+            )
+        pred = apply_fn(pq, *binputs)
+        rec = jnp.mean(jnp.sum(jnp.abs(pred - bout) ** p_norm, axis=unit.sum_axis))
+        b = linear_temp_decay(step.astype(jnp.float32), iters, warmup)
+        reg = sum(rounding_reg_loss(a, b) for a in alphas.values())
+        round_on = step >= (warmup * iters)
+        return rec + jnp.where(round_on, w * reg, 0.0)
+
+    @jax.jit
+    def run(key, alphas, opt_state, inputs, outputs):
+        def step_fn(carry, step):
+            alphas, opt_state = carry
+            k = jax.random.fold_in(key, step)
+            idx = jax.random.randint(k, (batch_size,), 0, n_samples)
+            binputs = tuple(x[idx] for x in inputs)
+            bout = outputs[idx]
+            loss, grads = jax.value_and_grad(loss_fn)(alphas, binputs, bout, step)
+            updates, opt_state = opt.update(grads, opt_state)
+            alphas = optax.apply_updates(alphas, updates)
+            return (alphas, opt_state), loss
+
+        (alphas, opt_state), losses = jax.lax.scan(
+            step_fn, (alphas, opt_state), jnp.arange(iters)
+        )
+        return alphas, losses
+
+    alphas, losses = run(key, alphas, opt_state, cached_inputs, cached_outputs)
+    return alphas, losses
+
+
+def calibrate_weights(
+    params: dict,
+    spec,
+    cfg: QConfig,
+    wqp: Dict[str, QParams],
+    cali_data: tuple,
+    iters: int = 20000,
+    batch_size: int = 32,
+    w: float = 0.01,
+    warmup: float = 0.2,
+    asym: bool = True,
+    capture_batch: int = 8,
+    seed: int = 0,
+    unet_apply=unet_sd_apply,
+    progress: Optional[Callable[[str], None]] = None,
+    max_units: Optional[int] = None,
+) -> Dict[str, jax.Array]:
+    """Full weight-reconstruction pass (reference cali_model weight phase,
+    calibration.py:100-197). Returns AdaRound alphas per quantized layer.
+
+    cali_data: (samples NHWC, timesteps, encoder_hidden_states) stacked arrays.
+    max_units limits the walk (debug/tests only).
+    """
+    units = recon_units(spec)
+    if max_units is not None:
+        units = units[:max_units]
+    key = jax.random.PRNGKey(seed)
+    all_alphas: Dict[str, jax.Array] = {}
+    n = cali_data[0].shape[0]
+
+    def batched_capture(p, unit_name):
+        ins, outs = None, None
+        for i in range(0, n, capture_batch):
+            batch = tuple(x[i : i + capture_batch] for x in cali_data)
+            (bi, bo) = capture_unit_io(p, batch, unit_name, cfg, unet_apply)
+            bi = tuple(np.asarray(x) for x in bi)
+            bo = np.asarray(bo)
+            if ins is None:
+                ins, outs = [list(bi)], [bo]
+            else:
+                ins.append(list(bi))
+                outs.append(bo)
+        inputs = tuple(
+            jnp.concatenate([chunk[j] for chunk in ins]) for j in range(len(ins[0]))
+        )
+        return inputs, jnp.concatenate(outs)
+
+    for u_idx, unit in enumerate(units):
+        if progress:
+            progress(f"[{u_idx + 1}/{len(units)}] reconstructing {unit.name}")
+        # FP outputs
+        fp_inputs, fp_out = batched_capture(params, unit.name)
+        if asym and all_alphas:
+            # inputs from the quantized prefix (hard rounding for frozen units)
+            pq = fold_weight_quant(
+                params, {k: wqp[k] for k in all_alphas}, spec, cfg,
+                alphas=all_alphas, soft=False,
+            )
+            q_inputs, _ = batched_capture(pq, unit.name)
+        else:
+            q_inputs = fp_inputs
+        alphas, _ = reconstruct_unit(
+            jax.random.fold_in(key, u_idx), unit, params, wqp,
+            q_inputs, fp_out, cfg, iters=iters, batch_size=batch_size,
+            w=w, warmup=warmup,
+        )
+        all_alphas.update(alphas)
+    return all_alphas

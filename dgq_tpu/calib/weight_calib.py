@@ -1,0 +1,108 @@
+"""Weight quantization: per-out-channel scale init and load-time folding.
+
+The reference lazily initializes every wqtizer on the first forward
+(/root/reference/quant/quant_layer.py:271-283) and re-fake-quantizes weights
+on every call. Weights are input-independent, so here:
+
+  * `init_weight_qparams` runs the (vmapped) per-out-channel scaler search for
+    every quantizable layer once;
+  * `fold_weight_quant` produces a params pytree whose weights are already
+    quantize-dequantized (or AdaRound-rounded); inference then runs at full
+    MXU speed with zero per-step weight-quant work.
+
+conv_in / conv_out keep float weights (reference disable_out_quantization,
+quant_model.py:118-124) but still get qparams so checkpoints round-trip.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.quant.adaround import adaround_quant
+from dgq_tpu.quant.affine import QParams, fake_quant
+from dgq_tpu.quant.scalers import Scaler, init_scale_channelwise
+
+EXCLUDED_LAYERS = ("conv_in", "conv_out")
+
+
+def _w_out_first(w: jax.Array, kind: str) -> jax.Array:
+    """Move the out-channel axis first: HWIO conv -> OHWI; (I,O) linear -> (O,I)."""
+    if kind == "conv":
+        return jnp.transpose(w, (3, 0, 1, 2))
+    return jnp.transpose(w)
+
+
+def _qp_to_layout(qp: QParams, kind: str) -> QParams:
+    """Reshape leading-axis qparams to broadcast against our weight layouts."""
+    o = qp.delta.shape[0]
+    if kind == "conv":
+        shape = (1, 1, 1, o)
+    else:
+        shape = (1, o)
+    return QParams(jnp.reshape(qp.delta, shape), jnp.reshape(qp.zero_point, shape))
+
+
+def init_layer_wqp(w: jax.Array, kind: str, bits: int, scaler: Scaler) -> QParams:
+    """Per-out-channel scale init for one layer, in our weight layout."""
+    wo = _w_out_first(w, kind)
+    qp = init_scale_channelwise(wo, bits, scaler)
+    # init_scale_channelwise returns (O,1,..) leading-axis broadcast shapes
+    flat = QParams(jnp.reshape(qp.delta, (-1,)), jnp.reshape(qp.zero_point, (-1,)))
+    return _qp_to_layout(flat, kind)
+
+
+def init_weight_qparams(
+    params: dict,
+    spec,
+    bits: int,
+    scaler: Scaler = Scaler.MINMAX,
+) -> Dict[str, QParams]:
+    """Scale init for every quantizable (conv/linear) layer."""
+    out = {}
+    for name, kind, _ in spec:
+        if kind not in ("conv", "linear"):
+            continue
+        out[name] = init_layer_wqp(params[name]["w"], kind, bits, scaler)
+    return out
+
+
+def fold_weight_quant(
+    params: dict,
+    wqp: Dict[str, QParams],
+    spec,
+    cfg: QConfig,
+    alphas: Optional[Dict[str, jax.Array]] = None,
+    soft: bool = False,
+) -> dict:
+    """Return params with weights replaced by their quantize-dequantized
+    values. With `alphas`, AdaRound rounding is used (soft during
+    reconstruction, hard for deployment)."""
+    out = dict(params)
+    for name, kind, _ in spec:
+        if kind not in ("conv", "linear") or name not in wqp:
+            continue
+        if cfg.disable_out_quant and name in EXCLUDED_LAYERS:
+            continue
+        p = dict(params[name])
+        w = p["w"]
+        if alphas is not None and name in alphas:
+            p["w"] = adaround_quant(w, wqp[name], alphas[name], cfg.w_bits, soft=soft)
+        else:
+            p["w"] = fake_quant(w, wqp[name], cfg.w_bits)
+        out[name] = p
+    return out
+
+
+def quantize_model_weights(
+    params: dict,
+    spec,
+    cfg: QConfig,
+    scaler: Scaler = Scaler.MINMAX,
+) -> tuple[dict, Dict[str, QParams]]:
+    """One-call weight-only PTQ (the reference's no_recon path,
+    src/quantize_weight.py:53,177-179): init scales then fold."""
+    wqp = init_weight_qparams(params, spec, cfg.w_bits, scaler)
+    return fold_weight_quant(params, wqp, spec, cfg), wqp

@@ -214,28 +214,28 @@ def attention(
     k = jnp.transpose(jnp.reshape(k, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
     v = jnp.transpose(jnp.reshape(v, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
 
-    if cfg.use_aq:
-        q = aq_apply(qstate, cfg, f"{prefix}.aqtizer_q", q)
-        if start_peak:
-            k0 = k[..., 0:1, :]
-            k_rest = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k[..., 1:, :])
-            k = jnp.concatenate([k0, k_rest], axis=-2)
-        else:
-            k = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k)
+    # aq_apply/softmax_q_apply no-op (but publish calibration taps) when
+    # quantization is off, so these run unconditionally.
+    q = aq_apply(qstate, cfg, f"{prefix}.aqtizer_q", q)
+    if start_peak:
+        k0 = k[..., 0:1, :]
+        k_rest = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k[..., 1:, :])
+        k = jnp.concatenate([k0, k_rest], axis=-2)
+    else:
+        k = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k)
 
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
     ) * scale
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
 
-    if cfg.use_aq:
-        if start_peak:
-            a0 = attn[..., 0:1]
-            a_rest = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn[..., 1:])
-            attn = jnp.concatenate([a0, a_rest], axis=-1)
-        else:
-            attn = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn)
-        v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
+    if start_peak:
+        a0 = attn[..., 0:1]
+        a_rest = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn[..., 1:])
+        attn = jnp.concatenate([a0, a_rest], axis=-1)
+    else:
+        attn = softmax_q_apply(qstate, cfg, f"{prefix}.aqtizer_w", attn)
+    v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
 
     attn = attn.astype(v.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=jnp.float32)

@@ -15,6 +15,8 @@ mapping is mechanical.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import dataclasses
 from typing import Any, Dict, Optional
 
@@ -22,6 +24,33 @@ import jax
 
 from dgq_tpu.quant.affine import QParams, fake_quant
 from dgq_tpu.quant.log2 import log2_fake_quant, log2_real_time_quant
+
+# ---------------------------------------------------------------------------
+# Activation taps: calibration needs the tensor at every activation-quantizer
+# input. Rather than threading a dict through every layer signature, quant
+# points publish their pre-quant tensor to a trace-time context. Jitted
+# collector wrappers return only the taps they need, so XLA dead-code
+# eliminates the rest (the compiled analogue of the reference's forward
+# hooks, quant/data_utill.py:80-111).
+# ---------------------------------------------------------------------------
+_TAPS: contextvars.ContextVar[Optional[dict]] = contextvars.ContextVar(
+    "dgq_act_taps", default=None
+)
+
+
+@contextlib.contextmanager
+def collect_act_taps(store: dict):
+    token = _TAPS.set(store)
+    try:
+        yield store
+    finally:
+        _TAPS.reset(token)
+
+
+def _tap(name: str, x: jax.Array) -> None:
+    store = _TAPS.get()
+    if store is not None:
+        store[name] = x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +89,32 @@ class QConfig:
 QState = Dict[str, Any]
 
 
+class GroupQParams:
+    """Group-quant params in canonical two-axis form.
+
+    The reference stores group deltas as (1,C,1) (second-to-last axis) OR
+    (1,1,C) (last axis) depending on a per-timestep spread heuristic
+    (quant_layer.py:391-402). To keep per-timestep params stackable on a
+    leading [T] axis (fixed shapes inside the denoising scan), we canonicalize:
+        delta = delta_mid * delta_last,  zp = zp_mid + zp_last
+    with the unused axis's vector set to ones/zeros. XLA fuses the broadcast
+    product, so the full (C_mid, C_last) matrix never materializes.
+    """
+
+    def __init__(self, delta_mid, zp_mid, delta_last, zp_last):
+        self.delta_mid = delta_mid
+        self.zp_mid = zp_mid
+        self.delta_last = delta_last
+        self.zp_last = zp_last
+
+
+jax.tree_util.register_pytree_node(
+    GroupQParams,
+    lambda g: ((g.delta_mid, g.zp_mid, g.delta_last, g.zp_last), None),
+    lambda _, c: GroupQParams(*c),
+)
+
+
 def aq_apply(
     qstate: Optional[QState],
     cfg: QConfig,
@@ -69,15 +124,22 @@ def aq_apply(
     """Apply the activation quantizer registered for `name`, if any.
 
     Mirrors QuantLayer.forward's `aqtizer(x)` (reference quant_layer.py:640-641)
-    including group-quant broadcasting: delta of shape (1,1,C) / (1,C,1)
-    broadcasts against (..., M, C) activations.
+    including group-quant broadcasting against the (possibly unfolded) input.
     """
+    _tap(name, x)
     if not cfg.use_aq or qstate is None:
         return x
     qp = qstate.get("a", {}).get(name)
     if qp is None:
         return x
-    # Broadcast trailing-shaped group params against higher-rank activations.
+    if isinstance(qp, GroupQParams):
+        nm = x.ndim
+        dm = qp.delta_mid.reshape((1,) * (nm - 2) + (-1, 1))
+        zm = qp.zp_mid.reshape((1,) * (nm - 2) + (-1, 1))
+        dl = qp.delta_last.reshape((1,) * (nm - 1) + (-1,))
+        zl = qp.zp_last.reshape((1,) * (nm - 1) + (-1,))
+        return fake_quant(x, QParams(dm * dl, zm + zl), cfg.a_bits)
+    # Broadcast trailing-shaped params against higher-rank activations.
     delta, zp = qp.delta, qp.zero_point
     if delta.ndim > 0 and delta.ndim < x.ndim:
         shape = (1,) * (x.ndim - delta.ndim) + delta.shape
@@ -98,6 +160,7 @@ def softmax_q_apply(
     t2i_log_quant (dynamic per-call max when t2i_real_time, else a calibrated
     delta), otherwise a uniform always_zero affine quantizer.
     """
+    _tap(name, attn_weights)
     if not cfg.use_aq or qstate is None:
         return attn_weights
     if cfg.t2i_log_quant:

@@ -37,77 +37,91 @@ NUM_HEADS = 8
 CROSS_DIM = 768
 
 
-def transformer_2d(p, prefix, x, ehs, n_layers, qstate, cfg):
+def _rec(record, key, inputs, out):
+    """Stash a reconstruction unit's (inputs, output) when capturing
+    (counterpart of the reference's save_inout hooks, quant/data_utill.py:13-51)."""
+    if record is not None:
+        record[key] = (inputs, out)
+    return out
+
+
+def transformer_2d(p, prefix, x, ehs, n_layers, qstate, cfg, record=None):
     """Transformer2DModel (reference sd.py:273-305): conv proj_in/out."""
     b, h, w, c = x.shape
     res = x
     x = group_norm(p[f"{prefix}.norm"], x, eps=1e-6)
+    x_in = x
     x = quant_conv2d(p[f"{prefix}.proj_in"], x, f"{prefix}.proj_in", qstate, cfg, 1, 0)
+    _rec(record, f"{prefix}.proj_in", (x_in,), x)
     inner = x.shape[-1]
     x = jnp.reshape(x, (b, h * w, inner))
     for i in range(n_layers):
+        x_in = x
         x = basic_transformer_block(
             p, f"{prefix}.transformer_blocks.{i}", x, ehs, NUM_HEADS, qstate, cfg
         )
+        _rec(record, f"{prefix}.transformer_blocks.{i}", (x_in, ehs), x)
     x = jnp.reshape(x, (b, h, w, inner))
+    x_in = x
     x = quant_conv2d(p[f"{prefix}.proj_out"], x, f"{prefix}.proj_out", qstate, cfg, 1, 0)
+    _rec(record, f"{prefix}.proj_out", (x_in,), x)
     return x + res
 
 
-def cross_attn_down_block(p, prefix, x, temb, ehs, qstate, cfg, has_shortcut, has_down):
+def _resnet(p, prefix, x, temb, qstate, cfg, shortcut, record):
+    out = resnet_block(p, prefix, x, temb, qstate, cfg, shortcut)
+    return _rec(record, prefix, (x, temb), out)
+
+
+def cross_attn_down_block(p, prefix, x, temb, ehs, qstate, cfg, has_shortcut,
+                          has_down, record=None):
     skips = []
     for i in range(2):
         shortcut = has_shortcut and i == 0
-        x = resnet_block(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, shortcut)
-        x = transformer_2d(p, f"{prefix}.attentions.{i}", x, ehs, 1, qstate, cfg)
+        x = _resnet(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, shortcut, record)
+        x = transformer_2d(p, f"{prefix}.attentions.{i}", x, ehs, 1, qstate, cfg, record)
         skips.append(x)
     if has_down:
-        x = quant_conv2d(
-            p[f"{prefix}.downsamplers.0.conv"], x,
-            f"{prefix}.downsamplers.0.conv", qstate, cfg, 2, 1,
-        )
+        name = f"{prefix}.downsamplers.0.conv"
+        x = _rec(record, name, (x,), quant_conv2d(p[name], x, name, qstate, cfg, 2, 1))
         skips.append(x)
     return x, skips
 
 
-def down_block(p, prefix, x, temb, qstate, cfg):
+def down_block(p, prefix, x, temb, qstate, cfg, record=None):
     skips = []
     for i in range(2):
-        x = resnet_block(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, False)
+        x = _resnet(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, False, record)
         skips.append(x)
     return x, skips
 
 
-def cross_attn_up_block(p, prefix, x, skips, temb, ehs, qstate, cfg, has_up):
+def cross_attn_up_block(p, prefix, x, skips, temb, ehs, qstate, cfg, has_up, record=None):
     for i in range(3):
         x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = resnet_block(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, True)
-        x = transformer_2d(p, f"{prefix}.attentions.{i}", x, ehs, 1, qstate, cfg)
+        x = _resnet(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, True, record)
+        x = transformer_2d(p, f"{prefix}.attentions.{i}", x, ehs, 1, qstate, cfg, record)
     if has_up:
         x = upsample_nearest2x(x)
-        x = quant_conv2d(
-            p[f"{prefix}.upsamplers.0.conv"], x,
-            f"{prefix}.upsamplers.0.conv", qstate, cfg, 1, 1,
-        )
+        name = f"{prefix}.upsamplers.0.conv"
+        x = _rec(record, name, (x,), quant_conv2d(p[name], x, name, qstate, cfg, 1, 1))
     return x
 
 
-def up_block(p, prefix, x, skips, temb, qstate, cfg):
+def up_block(p, prefix, x, skips, temb, qstate, cfg, record=None):
     for i in range(3):
         x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = resnet_block(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, True)
+        x = _resnet(p, f"{prefix}.resnets.{i}", x, temb, qstate, cfg, True, record)
     x = upsample_nearest2x(x)
-    x = quant_conv2d(
-        p[f"{prefix}.upsamplers.0.conv"], x,
-        f"{prefix}.upsamplers.0.conv", qstate, cfg, 1, 1,
-    )
+    name = f"{prefix}.upsamplers.0.conv"
+    x = _rec(record, name, (x,), quant_conv2d(p[name], x, name, qstate, cfg, 1, 1))
     return x
 
 
-def mid_block(p, prefix, x, temb, ehs, qstate, cfg):
-    x = resnet_block(p, f"{prefix}.resnets.0", x, temb, qstate, cfg, False)
-    x = transformer_2d(p, f"{prefix}.attentions.0", x, ehs, 1, qstate, cfg)
-    x = resnet_block(p, f"{prefix}.resnets.1", x, temb, qstate, cfg, False)
+def mid_block(p, prefix, x, temb, ehs, qstate, cfg, record=None):
+    x = _resnet(p, f"{prefix}.resnets.0", x, temb, qstate, cfg, False, record)
+    x = transformer_2d(p, f"{prefix}.attentions.0", x, ehs, 1, qstate, cfg, record)
+    x = _resnet(p, f"{prefix}.resnets.1", x, temb, qstate, cfg, False, record)
     return x
 
 
@@ -118,14 +132,22 @@ def unet_sd_apply(
     encoder_hidden_states: jax.Array,
     qstate: Optional[QState] = None,
     cfg: QConfig = QConfig(),
+    record: Optional[dict] = None,
 ) -> jax.Array:
-    """UNet forward (reference sd.py:546-620). sample is NHWC (B, 64, 64, 4)."""
+    """UNet forward (reference sd.py:546-620). sample is NHWC (B, 64, 64, 4).
+
+    With `record` (a dict), every reconstruction unit's (inputs, output) is
+    captured — the jit-friendly counterpart of the reference's forward hooks.
+    """
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-    t_emb = timestep_embedding(timesteps, 320).astype(sample.dtype)
+    base = params["conv_in"]["w"].shape[-1]  # 320 for real SD v1.4
+    t_emb = timestep_embedding(timesteps, base).astype(sample.dtype)
     emb = quant_linear(params["time_embedding.linear_1"], t_emb, "time_embedding.linear_1", qstate, cfg)
-    emb = silu(emb)
-    emb = quant_linear(params["time_embedding.linear_2"], emb, "time_embedding.linear_2", qstate, cfg)
+    _rec(record, "time_embedding.linear_1", (t_emb,), emb)
+    emb_in = silu(emb)
+    emb = quant_linear(params["time_embedding.linear_2"], emb_in, "time_embedding.linear_2", qstate, cfg)
+    _rec(record, "time_embedding.linear_2", (emb_in,), emb)
 
     # conv_in / conv_out are never quantized (reference quant_model.py:118-124)
     x = conv2d(params["conv_in"], sample, 1, 1)
@@ -133,19 +155,19 @@ def unet_sd_apply(
     ehs = encoder_hidden_states
     s0 = x
     x, (s1, s2, s3) = cross_attn_down_block(
-        params, "down_blocks.0", x, emb, ehs, qstate, cfg, False, True)
+        params, "down_blocks.0", x, emb, ehs, qstate, cfg, False, True, record)
     x, (s4, s5, s6) = cross_attn_down_block(
-        params, "down_blocks.1", x, emb, ehs, qstate, cfg, True, True)
+        params, "down_blocks.1", x, emb, ehs, qstate, cfg, True, True, record)
     x, (s7, s8, s9) = cross_attn_down_block(
-        params, "down_blocks.2", x, emb, ehs, qstate, cfg, True, True)
-    x, (s10, s11) = down_block(params, "down_blocks.3", x, emb, qstate, cfg)
+        params, "down_blocks.2", x, emb, ehs, qstate, cfg, True, True, record)
+    x, (s10, s11) = down_block(params, "down_blocks.3", x, emb, qstate, cfg, record)
 
-    x = mid_block(params, "mid_block", x, emb, ehs, qstate, cfg)
+    x = mid_block(params, "mid_block", x, emb, ehs, qstate, cfg, record)
 
-    x = up_block(params, "up_blocks.0", x, [s9, s10, s11], emb, qstate, cfg)
-    x = cross_attn_up_block(params, "up_blocks.1", x, [s6, s7, s8], emb, ehs, qstate, cfg, True)
-    x = cross_attn_up_block(params, "up_blocks.2", x, [s3, s4, s5], emb, ehs, qstate, cfg, True)
-    x = cross_attn_up_block(params, "up_blocks.3", x, [s0, s1, s2], emb, ehs, qstate, cfg, False)
+    x = up_block(params, "up_blocks.0", x, [s9, s10, s11], emb, qstate, cfg, record)
+    x = cross_attn_up_block(params, "up_blocks.1", x, [s6, s7, s8], emb, ehs, qstate, cfg, True, record)
+    x = cross_attn_up_block(params, "up_blocks.2", x, [s3, s4, s5], emb, ehs, qstate, cfg, True, record)
+    x = cross_attn_up_block(params, "up_blocks.3", x, [s0, s1, s2], emb, ehs, qstate, cfg, False, record)
 
     x = group_norm(params["conv_norm_out"], x)
     x = silu(x)
@@ -176,7 +198,7 @@ def _transformer_spec(prefix, inner, cross):
     return out
 
 
-def _resnet_spec(prefix, cin, cout, shortcut, temb_dim=1280):
+def _resnet_spec(prefix, cin, cout, shortcut, temb_dim):
     out = [
         (f"{prefix}.norm1", "groupnorm", (cin,)),
         (f"{prefix}.conv1", "conv", (cin, cout, 3, 1, 1)),
@@ -189,7 +211,7 @@ def _resnet_spec(prefix, cin, cout, shortcut, temb_dim=1280):
     return out
 
 
-def _transformer2d_spec(prefix, c, n_layers, cross=CROSS_DIM):
+def _transformer2d_spec(prefix, c, n_layers, cross):
     out = [
         (f"{prefix}.norm", "groupnorm", (c,)),
         (f"{prefix}.proj_in", "conv", (c, c, 1, 1, 0)),
@@ -200,47 +222,53 @@ def _transformer2d_spec(prefix, c, n_layers, cross=CROSS_DIM):
     return out
 
 
-def sd_unet_spec():
+def sd_unet_spec(base: int = 320, cross: int = CROSS_DIM):
     """Full layer spec for SD v1.4. conv meta: (cin, cout, k, stride, pad);
-    linear meta: (cin, cout, bias)."""
+    linear meta: (cin, cout, bias).
+
+    `base` scales every channel count (320 = real SD v1.4; small values give
+    a structurally identical tiny model for tests, mirroring the vendored
+    diffusers FastTests' get_dummy_components pattern).
+    """
+    c1, c2, c3 = base, base * 2, base * 4
+    temb = base * 4
     spec = [
-        ("conv_in", "conv", (4, 320, 3, 1, 1)),
-        ("time_embedding.linear_1", "linear", (320, 1280, True)),
-        ("time_embedding.linear_2", "linear", (1280, 1280, True)),
-        ("conv_norm_out", "groupnorm", (320,)),
-        ("conv_out", "conv", (320, 4, 3, 1, 1)),
+        ("conv_in", "conv", (4, c1, 3, 1, 1)),
+        ("time_embedding.linear_1", "linear", (c1, temb, True)),
+        ("time_embedding.linear_2", "linear", (temb, temb, True)),
+        ("conv_norm_out", "groupnorm", (c1,)),
+        ("conv_out", "conv", (c1, 4, 3, 1, 1)),
     ]
-    chans = [320, 640, 1280]
     # down blocks 0..2 (cross attn), 3 (plain)
-    cins = [(320, 320), (320, 640), (640, 1280)]
+    cins = [(c1, c1), (c1, c2), (c2, c3)]
     for bi, (cin0, cout) in enumerate(cins):
         pre = f"down_blocks.{bi}"
-        spec += _resnet_spec(f"{pre}.resnets.0", cin0, cout, shortcut=(bi != 0))
-        spec += _resnet_spec(f"{pre}.resnets.1", cout, cout, shortcut=False)
-        spec += _transformer2d_spec(f"{pre}.attentions.0", cout, 1)
-        spec += _transformer2d_spec(f"{pre}.attentions.1", cout, 1)
+        spec += _resnet_spec(f"{pre}.resnets.0", cin0, cout, bi != 0, temb)
+        spec += _resnet_spec(f"{pre}.resnets.1", cout, cout, False, temb)
+        spec += _transformer2d_spec(f"{pre}.attentions.0", cout, 1, cross)
+        spec += _transformer2d_spec(f"{pre}.attentions.1", cout, 1, cross)
         spec += [(f"{pre}.downsamplers.0.conv", "conv", (cout, cout, 3, 2, 1))]
-    spec += _resnet_spec("down_blocks.3.resnets.0", 1280, 1280, False)
-    spec += _resnet_spec("down_blocks.3.resnets.1", 1280, 1280, False)
+    spec += _resnet_spec("down_blocks.3.resnets.0", c3, c3, False, temb)
+    spec += _resnet_spec("down_blocks.3.resnets.1", c3, c3, False, temb)
     # mid
-    spec += _resnet_spec("mid_block.resnets.0", 1280, 1280, False)
-    spec += _resnet_spec("mid_block.resnets.1", 1280, 1280, False)
-    spec += _transformer2d_spec("mid_block.attentions.0", 1280, 1)
-    # up block 0 (plain, 1280)
-    for i, cin_extra in enumerate([1280, 1280, 1280]):
-        spec += _resnet_spec(f"up_blocks.0.resnets.{i}", 1280 + cin_extra, 1280, True)
-    spec += [("up_blocks.0.upsamplers.0.conv", "conv", (1280, 1280, 3, 1, 1))]
+    spec += _resnet_spec("mid_block.resnets.0", c3, c3, False, temb)
+    spec += _resnet_spec("mid_block.resnets.1", c3, c3, False, temb)
+    spec += _transformer2d_spec("mid_block.attentions.0", c3, 1, cross)
+    # up block 0 (plain, c3)
+    for i in range(3):
+        spec += _resnet_spec(f"up_blocks.0.resnets.{i}", c3 + c3, c3, True, temb)
+    spec += [("up_blocks.0.upsamplers.0.conv", "conv", (c3, c3, 3, 1, 1))]
     # up blocks 1..3 (cross attn)
     ups = [
-        ("up_blocks.1", 1280, 1280, 640, True),
-        ("up_blocks.2", 640, 1280, 320, True),
-        ("up_blocks.3", 320, 640, 320, False),
+        ("up_blocks.1", c3, c3, c2, True),
+        ("up_blocks.2", c2, c3, c1, True),
+        ("up_blocks.3", c1, c2, c1, False),
     ]
     for pre, cout, prev, cin, has_up in ups:
         extras = [prev, cout, cin]
         for i in range(3):
-            spec += _resnet_spec(f"{pre}.resnets.{i}", cout + extras[i], cout, True)
-            spec += _transformer2d_spec(f"{pre}.attentions.{i}", cout, 1)
+            spec += _resnet_spec(f"{pre}.resnets.{i}", cout + extras[i], cout, True, temb)
+            spec += _transformer2d_spec(f"{pre}.attentions.{i}", cout, 1, cross)
         if has_up:
             spec += [(f"{pre}.upsamplers.0.conv", "conv", (cout, cout, 3, 1, 1))]
     return spec
@@ -255,12 +283,12 @@ def quantizable_layers(spec=None):
     return [(n, k, m) for (n, k, m) in spec if k in ("conv", "linear")]
 
 
-def init_unet_sd(key: jax.Array, dtype=jnp.float32) -> dict:
+def init_unet_sd(key: jax.Array, dtype=jnp.float32, spec=None) -> dict:
     """Random-init params with reference-matching shapes (HWIO convs, (I,O)
     linears). Used for tests and benchmarks; real weights come from the
     checkpoint converter (dgq_tpu.io.convert)."""
     params = {}
-    spec = sd_unet_spec()
+    spec = spec if spec is not None else sd_unet_spec()
     keys = jax.random.split(key, len(spec))
     for (name, kind, meta), k in zip(spec, keys):
         if kind == "conv":
