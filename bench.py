@@ -51,20 +51,23 @@ def main():
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     spec = sd_unet_spec()
-    params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec)
-
     cfg = QConfig(
         w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
         t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
     )
     t0 = time.perf_counter()
-    params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
-    params_q = jax.tree.map(
-        lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
-        params_q, is_leaf=lambda x: x is None,
-    )
-    params_q = jax.device_put(params_q)
+    # init + quantize + fold on the host CPU: local compiles, one pass; the
+    # TPU only sees the final folded weights
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec)
+        params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+        params_q = jax.tree.map(
+            lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
+            params_q, is_leaf=lambda x: x is None,
+        )
+    params_q = jax.device_put(params_q, dev)
     jax.block_until_ready(params_q)
+    del params
     print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # synthetic A8 activation qparams (throughput is value-independent)

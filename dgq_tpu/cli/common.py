@@ -1,0 +1,103 @@
+"""Shared CLI plumbing: model construction, weight loading, logging setup.
+
+The reference configures models via the DIFFUSERS_REWRITE env var + argparse
+(src/quantize_weight.py:27-98); we accept --model {sd,sdxl} directly and also
+honor the env var for drop-in familiarity.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def model_type_from_env(default: str = "sd") -> str:
+    return os.environ.get("DIFFUSERS_REWRITE", default)
+
+
+def setup_logging(outdir: str) -> tuple[str, logging.Logger]:
+    os.makedirs(outdir, exist_ok=True)
+    outpath = os.path.join(outdir, datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S"))
+    os.makedirs(outpath, exist_ok=True)
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s -   %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+        level=logging.INFO,
+        handlers=[
+            logging.FileHandler(os.path.join(outpath, "run.log")),
+            logging.StreamHandler(),
+        ],
+    )
+    return outpath, logging.getLogger("dgq_tpu")
+
+
+def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
+                hf_unet_path: Optional[str] = None):
+    """Returns (spec, params, unet_apply, latent_hw, cross_dim).
+
+    hf_unet_path: directory with a torch state dict ('diffusion_pytorch_model
+    .bin' or .pth) of the rewritten UNet — converted on load. Without it,
+    random weights (useful only for smoke/benchmark runs)."""
+    if model_type == "sd":
+        from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply
+
+        spec = sd_unet_spec(base=base or 320)
+        apply_fn = unet_sd_apply
+        latent_hw, cross = 64, 768
+        init = init_unet_sd
+    elif model_type == "sdxl":
+        from dgq_tpu.models.unet_sdxl import sdxl_unet_spec, unet_sdxl_apply
+        from dgq_tpu.models.unet_sd import init_unet_sd as init
+
+        spec = sdxl_unet_spec(base=base or 320)
+        apply_fn = unet_sdxl_apply
+        latent_hw, cross = 128, 2048
+    else:
+        raise ValueError(f"unknown model type {model_type}")
+
+    if hf_unet_path:
+        import torch
+
+        from dgq_tpu.io.convert import torch_unet_to_params
+
+        state_file = hf_unet_path
+        if os.path.isdir(hf_unet_path):
+            for cand in ("diffusion_pytorch_model.bin", "unet.pth", "pytorch_model.bin"):
+                p = os.path.join(hf_unet_path, cand)
+                if os.path.exists(p):
+                    state_file = p
+                    break
+        state = {
+            k: v.numpy()
+            for k, v in torch.load(state_file, map_location="cpu", weights_only=False).items()
+        }
+        params = torch_unet_to_params(state, spec)
+    else:
+        params = init(jax.random.PRNGKey(seed), spec=spec)
+    return spec, params, apply_fn, latent_hw, cross
+
+
+def add_quant_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--wq", type=int, default=4, help="weight bits")
+    ap.add_argument("--aq", type=int, default=8, help="activation bits")
+    ap.add_argument("--softmax_a_bit", type=int, default=8)
+    ap.add_argument("--t2i_log_quant", action="store_true")
+    ap.add_argument("--t2i_real_time", action="store_true")
+    ap.add_argument("--t2i_start_peak", action="store_true")
+    ap.add_argument("--time_aware_aqtizer", action="store_true")
+
+
+def qconfig_from_args(args, use_wq=True, use_aq=False):
+    from dgq_tpu.models.qconfig import QConfig
+
+    return QConfig(
+        w_bits=args.wq, a_bits=args.aq, softmax_bits=args.softmax_a_bit,
+        use_wq=use_wq, use_aq=use_aq,
+        t2i_log_quant=args.t2i_log_quant, t2i_real_time=args.t2i_real_time,
+        t2i_start_peak=args.t2i_start_peak,
+    )

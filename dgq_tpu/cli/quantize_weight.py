@@ -1,0 +1,103 @@
+"""Weight PTQ CLI (reference src/quantize_weight.py).
+
+Examples:
+  python -m dgq_tpu.cli.quantize_weight --model sd --wq 4 --cali \\
+      --cali_prompt_data_n 64 --step_size 25 --outdir results
+  python -m dgq_tpu.cli.quantize_weight --model sd --wq 8 --no_recon --fast
+
+Without HF weights/prompt data (zero-egress), synthetic prompt embeddings
+drive the calibration loop — the full quantization machinery still runs and
+produces a reference-format checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from dgq_tpu.cli.common import (
+    add_quant_args,
+    build_model,
+    model_type_from_env,
+    qconfig_from_args,
+    setup_logging,
+)
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="DGQ-TPU weight quantization")
+    ap.add_argument("--model", default=model_type_from_env(), choices=["sd", "sdxl"])
+    ap.add_argument("--outdir", default="results")
+    add_quant_args(ap)
+    ap.add_argument("--use_aq", action="store_true",
+                    help="also run vanilla activation calibration afterwards")
+    ap.add_argument("--cali", action="store_true", help="MSE scale init (else minmax)")
+    ap.add_argument("--cali_prompt_data_n", type=int, default=64)
+    ap.add_argument("--cali_data_path", default="./data/cali_data")
+    ap.add_argument("--step_size", type=int, default=-1)
+    ap.add_argument("--no_recon", action="store_true")
+    ap.add_argument("--fast", action="store_true", help="minmax init")
+    ap.add_argument("--debug", action="store_true",
+                    help="= --fast, 4 prompts, 10 iters")
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--unet_weights", default=None,
+                    help="path to torch UNet state dict (HF snapshot)")
+    ap.add_argument("--base", type=int, default=None,
+                    help="override model width (tiny smoke runs)")
+    args = ap.parse_args()
+    if args.debug:
+        args.fast = True
+        args.cali_prompt_data_n = 4
+        args.iters = 10
+    if args.step_size < 0:
+        args.step_size = 25 if args.model == "sd" else 4
+    return args
+
+
+def main():
+    args = parse_args()
+    outpath, log = setup_logging(args.outdir)
+    from dgq_tpu.calib.data import generate_sd_cali_data, synthetic_prompt_embeddings
+    from dgq_tpu.calib.reconstruction import calibrate_weights
+    from dgq_tpu.calib.weight_calib import init_weight_qparams
+    from dgq_tpu.io.dgq_ckpt import save_weight_only
+    from dgq_tpu.quant.scalers import Scaler
+
+    spec, params, apply_fn, latent_hw, cross = build_model(
+        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
+    )
+    cfg = qconfig_from_args(args, use_wq=True)
+
+    scaler = Scaler.MINMAX if (args.fast or not args.cali) else Scaler.MSE
+    log.info(f"weight scale init: {scaler} w{args.wq}")
+    wqp = init_weight_qparams(params, spec, args.wq, scaler)
+
+    alphas = None
+    if not args.no_recon:
+        log.info("generating calibration data...")
+        text, uncond = synthetic_prompt_embeddings(
+            args.cali_prompt_data_n, dim=cross, seed=args.seed
+        )
+        cache = f"{args.cali_data_path}_{args.model}_{args.step_size}steps.npz"
+        cali_data, interval = generate_sd_cali_data(
+            params, text, uncond, steps=args.step_size,
+            scheduler="pndm" if args.model == "sd" else "ddim",
+            latent_hw=latent_hw, seed=args.seed, cache_path=cache,
+            unet_apply=apply_fn,
+        )
+        log.info(f"calibration set: {cali_data[0].shape[0]} samples, interval {interval}")
+        alphas = calibrate_weights(
+            params, spec, cfg, wqp, cali_data, iters=args.iters,
+            batch_size=8, w=0.01, warmup=0.2, asym=True,
+            unet_apply=apply_fn, progress=log.info,
+        )
+    path = os.path.join(outpath, "cali_ckpt.pth")
+    save_weight_only(f"{path}_weight_only", params, wqp, spec, alphas=alphas)
+    log.info(f"calibrated model saved to {path}_weight_only")
+
+
+if __name__ == "__main__":
+    main()

@@ -142,20 +142,22 @@ def quant_linear(
 
 
 def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
-    """GroupNorm over NHWC (channel-last)."""
+    """GroupNorm over NHWC (channel-last). Statistics in f32 (bf16-safe)."""
     b, h, w, c = x.shape
-    xg = jnp.reshape(x, (b, h * w, groups, c // groups))
+    xg = jnp.reshape(x, (b, h * w, groups, c // groups)).astype(jnp.float32)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = jnp.reshape(xg, (b, h, w, c))
-    return x * p["scale"] + p["bias"]
+    out = jnp.reshape(xg, (b, h, w, c)) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def silu(x: jax.Array) -> jax.Array:

@@ -1,0 +1,270 @@
+"""Fused (flash-style) attention with DGQ softmax quantization points.
+
+The reference materializes the full softmax matrix in HBM and quantizes it
+elementwise (diffusers_rewrite/sd.py:183-201): at 512px SD resolution that is
+a (B,8,4096,4096) float32 tensor per attention — gigabytes of HBM traffic per
+layer. This kernel computes attention blockwise in VMEM.
+
+DGQ's post-softmax quantizers need the FINAL probabilities, which breaks the
+single-pass online-softmax rescaling trick. Key identity: for row i with
+score max m_i and normalizer l_i = sum_j exp(s_ij - m_i), the row's largest
+probability is exactly 1/l_i, so the reference's `real_time` delta
+(global max of the softmax tensor, quant_layer_text.py:96-99) is
+    delta = max_i 1/l_i = 1 / min_i l_i
+— available from a stats-only pass that never materializes probabilities.
+
+Pipeline:
+  phase 1 (stats kernel): per-row (m_i, l_i); real_time delta = 1/min(l).
+  phase 2 (accumulate kernel): probs = exp(s - m_i)/l_i (exact final softmax),
+     quantize (log2 with delta, or uniform affine, or none), multiply by V.
+  start_peak: key position 0 is restored unquantized (sd.py:191-195).
+
+Unquantized attention uses the classic single-pass flash kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ------------------------------------------------------------- phase 1 ------
+def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
+    """Row max and normalizer over all key blocks (one grid cell = q tile)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // block_s
+
+    def body(j, carry):
+        m, l = carry
+        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        s = jnp.where(col < s_valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
+        return m_new, l
+
+    bt = q.shape[0]
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, n_blocks, body, (m0, l0))
+    o_m_ref[0] = m
+    o_l_ref[0] = l
+
+
+# ------------------------------------------------------------- phase 2 ------
+def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
+                  scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
+    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    m = m_ref[0]
+    l = l_ref[0]
+    delta = delta_ref[0, 0]
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // block_s
+    level = 2 ** sm_bits
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        s = jnp.where(col < s_valid, s, NEG_INF)
+        p = jnp.exp(s - m) / l
+        if sm_mode == "log2":
+            pq = jnp.round(-jnp.log2(p / delta))
+            pq = jnp.clip(pq, 0, level - 1)
+            pq = (2.0 ** (-pq)) * delta
+        elif sm_mode == "uniform":
+            pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
+        else:
+            pq = p
+        if start_peak:
+            pq = jnp.where(col == 0, p, pq)
+        pq = jnp.where(col < s_valid, pq, 0.0)
+        v = v_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            pq, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_blocks, body, acc0)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+# ------------------------------------------------------- single-pass FP -----
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
+    q = q_ref[0].astype(jnp.float32) * scale
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // block_s
+    bt = q.shape[0]
+    d = v_ref.shape[2]
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        s = jnp.where(col < s_valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        acc = acc * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    acc0 = jnp.zeros((bt, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+# ----------------------------------------------------------------- API ------
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sm_mode", "sm_bits", "start_peak",
+                     "block_t", "block_s", "interpret"),
+)
+def fused_attention(
+    q: jax.Array,                  # (BH, T, D)
+    k: jax.Array,                  # (BH, S, D)
+    v: jax.Array,                  # (BH, S, D)
+    scale: float,
+    sm_mode: str = "none",         # none | log2 | log2_real_time | uniform
+    sm_bits: int = 8,
+    sm_delta: Optional[jax.Array] = None,   # static delta (log2/uniform modes)
+    start_peak: bool = False,
+    block_t: int = 256,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    bh, t, d = q.shape
+    s = k.shape[1]
+    dp = _round_up(d, 128)
+    bt = min(block_t, _round_up(t, 8))
+    bs = min(block_s, _round_up(s, 128))
+    tp = _round_up(t, bt)
+    sp = _round_up(s, bs)
+
+    qp = jnp.pad(q, ((0, 0), (0, tp - t), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, sp - s), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, sp - s), (0, dp - d)))
+    grid = (bh, tp // bt)
+    common = dict(scale=scale, s_valid=s, block_s=bs)
+
+    if sm_mode == "none":
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, **common),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bh * tp * sp * dp,
+                bytes_accessed=2 * bh * (tp + 2 * sp) * dp,
+                transcendentals=bh * tp * sp,
+            ),
+        )(
+            qp.reshape(bh, tp, dp), kp.reshape(bh, sp, dp), vp.reshape(bh, sp, dp)
+        )
+        return out[:, :t, :d]
+
+    # ---- quantized path: phase 1 stats ----
+    m, l = pl.pallas_call(
+        functools.partial(_stats_kernel, **common),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, kp)
+
+    if sm_mode == "log2_real_time":
+        # reference real_time: delta = max of the softmax tensor = 1/min(l)
+        l_valid = jnp.where(
+            (jnp.arange(tp) < t)[None, :, None], l, jnp.inf
+        )
+        delta = 1.0 / jnp.min(l_valid)
+        mode = "log2"
+    else:
+        assert sm_delta is not None, "static softmax quant needs sm_delta"
+        delta = sm_delta.astype(jnp.float32)
+        mode = "log2" if sm_mode == "log2" else "uniform"
+
+    delta_arr = jnp.reshape(delta, (1, 1)).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(
+            _accum_kernel, **common, sm_mode=mode, sm_bits=sm_bits,
+            start_peak=start_peak,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tp * sp * dp,
+            bytes_accessed=2 * bh * (tp + 2 * sp) * dp,
+            transcendentals=2 * bh * tp * sp,
+        ),
+    )(qp, kp, vp, m, l, delta_arr)
+    return out[:, :t, :d]
+
+
+def attention_reference(q, k, v, scale, sm_mode="none", sm_bits=8,
+                        sm_delta=None, start_peak=False):
+    """XLA oracle with materialized softmax (the reference's math)."""
+    s = jnp.einsum("btd,bsd->bts", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    level = 2 ** sm_bits
+    if sm_mode != "none":
+        delta = jnp.max(p) if sm_mode == "log2_real_time" else sm_delta
+        if sm_mode in ("log2", "log2_real_time"):
+            pq = 2.0 ** (-jnp.clip(jnp.round(-jnp.log2(p / delta)), 0, level - 1)) * delta
+        else:
+            pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
+        if start_peak:
+            pq = pq.at[..., 0].set(p[..., 0])
+        p = pq
+    return jnp.einsum("bts,bsd->btd", p, v.astype(jnp.float32)).astype(q.dtype)

@@ -57,9 +57,13 @@ def make_ddim(num_inference_steps: int, num_train_timesteps: int = 1000,
 
 def ddim_step(latents: jax.Array, eps: jax.Array, alpha_t: jax.Array,
               alpha_prev: jax.Array) -> jax.Array:
-    """Deterministic DDIM update (eta=0), epsilon prediction."""
-    x0 = (latents - jnp.sqrt(1.0 - alpha_t) * eps) / jnp.sqrt(alpha_t)
-    return jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1.0 - alpha_prev) * eps
+    """Deterministic DDIM update (eta=0), epsilon prediction. Math in f32,
+    result in the latents' dtype (keeps bf16 scan carries stable)."""
+    x = latents.astype(jnp.float32)
+    e = eps.astype(jnp.float32)
+    x0 = (x - jnp.sqrt(1.0 - alpha_t) * e) / jnp.sqrt(alpha_t)
+    out = jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1.0 - alpha_prev) * e
+    return out.astype(latents.dtype)
 
 
 # ------------------------------------------------------------ PNDM / PLMS ---
@@ -141,6 +145,7 @@ def pndm_plms_step(
     call_idx >=2: Adams-Bashforth multistep on the ets history.
     """
     is_second = call_idx == 1
+    eps = eps.astype(state.ets.dtype)
 
     # history update: eps is appended for every call except the second
     new_ets = jnp.where(
@@ -168,7 +173,10 @@ def pndm_plms_step(
     eps_prime = jnp.where(is_second, (eps + e1) / 2.0, eps_prime)
     sample = jnp.where(is_second, state.cur_sample, latents)
 
-    prev = _pndm_prev_sample(sample, eps_prime, alpha_t, alpha_prev)
+    prev = _pndm_prev_sample(
+        sample.astype(jnp.float32), eps_prime.astype(jnp.float32),
+        alpha_t, alpha_prev,
+    ).astype(latents.dtype)
     new_state = PNDMState(
         ets=new_ets,
         num_ets=num_ets,
@@ -206,9 +214,10 @@ def euler_scale_model_input(latents: jax.Array, sigma: jax.Array) -> jax.Array:
 def euler_step(latents: jax.Array, eps: jax.Array, sigma: jax.Array,
                sigma_next: jax.Array) -> jax.Array:
     """Euler update, epsilon prediction: x0 = x - sigma*eps; dx = (x - x0)/sigma."""
-    pred_original = latents - sigma * eps
-    derivative = (latents - pred_original) / sigma
-    return latents + derivative * (sigma_next - sigma)
+    x = latents.astype(jnp.float32)
+    pred_original = x - sigma * eps.astype(jnp.float32)
+    derivative = (x - pred_original) / sigma
+    return (x + derivative * (sigma_next - sigma)).astype(latents.dtype)
 
 
 def euler_init_sigma(num_inference_steps: int, **kw) -> jax.Array:

@@ -262,6 +262,26 @@ def init_scale(
     return _HOST_SCALERS[scaler](np.asarray(x), level, symmetric, always_zero)
 
 
+def minmax_scale_rows(flat: jax.Array, level: int, symmetric: bool,
+                      always_zero: bool) -> QParams:
+    """Vectorized per-row minmax (one fused program; no per-channel scan)."""
+    x_min = jnp.minimum(jnp.min(flat, axis=1), 0.0)
+    x_max = jnp.maximum(jnp.max(flat, axis=1), 0.0)
+    delta = (x_max - x_min) / (level - 1)
+    if symmetric:
+        hi = jnp.maximum(jnp.abs(x_min), x_max)
+        x_min = -hi
+        delta = (hi - x_min) / (level - 2)
+    if always_zero:
+        delta = x_max / (level - 1)
+    delta = jnp.maximum(delta, 1e-8)
+    if symmetric or always_zero:
+        zp = jnp.zeros_like(delta)
+    else:
+        zp = jnp.round(-x_min / delta)
+    return QParams(delta=delta, zero_point=zp)
+
+
 def init_scale_channelwise(
     x: jax.Array,
     bits: int,
@@ -273,14 +293,18 @@ def init_scale_channelwise(
 
     Matches reference quant_layer.py:253-264: one independent scaler search per
     output channel, results reshaped to broadcast ((O,1,1,1) conv / (O,1)
-    linear). Runs as a single vmap'd compiled search for the jax scalers.
+    linear). Runs as a single vmap'd compiled search for the jax scalers
+    (minmax uses a direct vectorized reduction).
     """
     level = 2 ** bits
     scaler = Scaler(scaler)
     n = x.shape[0]
     flat = jnp.reshape(jnp.asarray(x, jnp.float32), (n, -1))
-    if scaler in _JAX_SCALERS:
-        fn = partial(_JAX_SCALERS[scaler], level=level, symmetric=symmetric, always_zero=always_zero)
+    if scaler == Scaler.MINMAX:
+        qp = minmax_scale_rows(flat, level, symmetric, always_zero)
+    elif scaler in _JAX_SCALERS:
+        fn = partial(_JAX_SCALERS[scaler], level=level, symmetric=symmetric,
+                     always_zero=always_zero)
         qp = jax.vmap(lambda xc: fn(xc))(flat)
     else:
         host = _HOST_SCALERS[scaler]
