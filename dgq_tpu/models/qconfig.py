@@ -74,6 +74,9 @@ class QConfig:
     # derived from loaded checkpoint delta shapes; static so each conv's path
     # is fixed at trace time.
     group_conv_layers: tuple = ()
+    # deploy path: run attention as the fused Pallas kernel (flash-style,
+    # in-kernel softmax quantization) instead of materialized XLA softmax.
+    use_pallas_attention: bool = False
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,86 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism (SURVEY.md §2.2) is all data parallelism over
+NCCL via the linklink alias layer: gradient allreduce during reconstruction
+(quant/reconstruction.py:73-77), `allaverage` of activation deltas
+(linklink/dist_helper.py:33-36), and hand-rolled prompt-list slicing for
+eval generation (src/gen4eval_SD.py:235).
+
+TPU-native design: one `jax.sharding.Mesh` with a 'dp' axis (batch /
+calibration data / eval prompts) and a 'tp' axis (out-channel weight
+sharding for models too large per chip). Collectives are inserted by GSPMD:
+a jitted loss whose batch is dp-sharded already averages gradients globally —
+no explicit allreduce calls exist anywhere in this codebase. `sync_mean` is
+provided for host-driven EMA statistics (the allaverage counterpart).
+
+Multi-host (DCN) scaling uses the standard `jax.distributed.initialize()`
+before mesh construction; the mesh spans all processes' devices and the same
+code runs unchanged — collectives ride ICI within a slice and DCN across.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devs) // tp
+    return Mesh(devs[: dp * tp].reshape(dp, tp), ("dp", "tp"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Shard leading (batch) axis over dp; replicate over tp."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_tp(mesh: Mesh, params: dict) -> dict:
+    """Shard weight out-channels (last axis) over tp; replicate the rest.
+
+    Works for our layouts: conv HWIO and linear (I, O) both have out channels
+    last. GSPMD then partitions each matmul/conv over tp and inserts the
+    reduce-scatter/all-gather pattern it deems best.
+    """
+    tp = mesh.shape["tp"]
+    out = {}
+    for name, p in params.items():
+        q = {}
+        for k, v in p.items():
+            if v is None:
+                q[k] = None
+            elif hasattr(v, "ndim") and v.ndim >= 2 and v.shape[-1] % tp == 0:
+                spec = P(*([None] * (v.ndim - 1) + ["tp"]))
+                q[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            else:
+                q[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        out[name] = q
+    return out
+
+
+def shard_prompts(prompts: list, rank: int, world_size: int) -> list:
+    """Embarrassingly-parallel eval sharding (reference gen4eval_SD.py:235):
+    process `rank` handles its contiguous slice of the prompt list."""
+    n = len(prompts)
+    per = (n + world_size - 1) // world_size
+    return prompts[rank * per : (rank + 1) * per]
+
+
+def sync_mean(mesh: Mesh, tree):
+    """Mean-reduce a replicated-per-device pytree across dp (the linklink
+    `allaverage` counterpart for host-driven calibration statistics)."""
+
+    @jax.jit
+    def _mean(x):
+        return jax.tree.map(lambda v: jnp.mean(v, axis=0), x)
+
+    stacked = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P("dp"))), tree
+    )
+    return _mean(stacked)

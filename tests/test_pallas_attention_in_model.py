@@ -1,0 +1,61 @@
+"""The Pallas-attention model path matches the XLA softmax path numerically
+(interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgq_tpu.models.layers import attention
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.quant.affine import QParams
+
+
+@pytest.fixture()
+def attn_setup():
+    rng = np.random.RandomState(0)
+    c, heads = 64, 8
+    p = {}
+    for nm in ("a.to_q", "a.to_k", "a.to_v", "a.to_out.0"):
+        p[nm] = {
+            "w": jnp.asarray(rng.randn(c, c).astype(np.float32) / 8),
+            "b": jnp.zeros((c,)) if nm == "a.to_out.0" else None,
+        }
+    x = jnp.asarray(rng.randn(2, 16, c).astype(np.float32))
+    ehs = jnp.asarray(rng.randn(2, 77, c).astype(np.float32))
+    return p, x, ehs, heads
+
+
+def _patch_interpret(monkeypatch):
+    """Force interpret mode inside the model's kernel call (CPU tests)."""
+    import dgq_tpu.ops.pallas.attention as A
+
+    orig = A.fused_attention
+
+    def wrapper(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(A, "fused_attention", wrapper)
+
+
+def test_fp_path_matches(attn_setup, monkeypatch):
+    _patch_interpret(monkeypatch)
+    p, x, ehs, heads = attn_setup
+    ref = attention(p, "a", x, ehs, heads, None, QConfig())
+    out = attention(p, "a", x, ehs, heads, None, QConfig(use_pallas_attention=True))
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+def test_quantized_realtime_path_matches(attn_setup, monkeypatch):
+    _patch_interpret(monkeypatch)
+    p, x, ehs, heads = attn_setup
+    cfg = QConfig(use_aq=True, a_bits=8, softmax_bits=8,
+                  t2i_log_quant=True, t2i_real_time=True)
+    qp = QParams(jnp.asarray(0.05), jnp.asarray(128.0))
+    qstate = {"a": {f"a.aqtizer_{s}": qp for s in "qkv"}, "sm": {}}
+    ref = attention(p, "a", x, ehs, heads, qstate, cfg, start_peak=True)
+    cfg2 = cfg.replace(use_pallas_attention=True)
+    out = attention(p, "a", x, ehs, heads, qstate, cfg2, start_peak=True)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
