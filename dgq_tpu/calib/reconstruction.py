@@ -135,6 +135,38 @@ def _sub_params(params: dict, unit: ReconUnit) -> dict:
     return {k: v for k, v in params.items() if k.startswith(unit.name + ".")}
 
 
+@partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))
+def _grad_jit(params_fp, params_q, sample, t, ehs, unit_name: str,
+              cfg: QConfig, unet_apply):
+    """dKL/d(unit output): KL(softmax(fp) || softmax(quant-prefix)) over the
+    channel axis, batchmean (reference GetLayerGrad, data_utill.py:191-256).
+    The quant prefix runs with weights quantized up to and including the unit."""
+    from dgq_tpu.models.unet_sd import inject_at
+
+    out_fp = unet_apply(params_fp, sample, t, ehs, qstate=None, cfg=cfg)
+    rec: dict = {}
+    unet_apply(params_q, sample, t, ehs, qstate=None, cfg=cfg, record=rec)
+    unit_out_shape = rec[unit_name][1].shape
+
+    def loss_fn(d):
+        with inject_at({unit_name: d}):
+            out_q = unet_apply(params_q, sample, t, ehs, qstate=None, cfg=cfg)
+        p_fp = jax.nn.softmax(out_fp.astype(jnp.float32), axis=-1)
+        logq = jax.nn.log_softmax(out_q.astype(jnp.float32), axis=-1)
+        logp = jnp.log(p_fp + 1e-12)
+        return jnp.sum(p_fp * (logp - logq)) / sample.shape[0]
+
+    return jax.grad(loss_fn)(jnp.zeros(unit_out_shape, jnp.float32))
+
+
+def capture_unit_grad(params_fp, params_q_prefix, cali_batch, unit_name, cfg,
+                      unet_apply=unet_sd_apply):
+    """|dKL/d(unit out)| + 1, the Fisher weighting (data_utill.py:68-69)."""
+    g = _grad_jit(params_fp, params_q_prefix, *cali_batch, unit_name=unit_name,
+                  cfg=cfg, unet_apply=unet_apply)
+    return jnp.abs(g) + 1.0
+
+
 def reconstruct_unit(
     key: jax.Array,
     unit: ReconUnit,
@@ -149,12 +181,16 @@ def reconstruct_unit(
     warmup: float = 0.2,
     p_norm: float = 2.0,
     lr: float = 1e-3,
+    opt_mode: str = "mse",
+    cached_grads: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Optimize AdaRound alphas for one unit. Returns {layer_name: alpha}.
 
-    Loss = Lp reconstruction (sum over unit.sum_axis, then mean — reference
-    reconstruction_util.py:52) + temperature-annealed rounding regularizer
-    active after `warmup * iters` steps (reference :63-83).
+    Loss = reconstruction loss + temperature-annealed rounding regularizer
+    active after `warmup * iters` steps (reference reconstruction_util.py:63-83).
+    opt_mode: 'mse' (Lp, sum over unit.sum_axis then mean — :52),
+    'fisher_diag' / 'fisher_full' (:53-59, need cached_grads from
+    capture_unit_grad).
     """
     apply_fn = make_unit_apply(unit, cfg)
     sub = _sub_params(params, unit)
@@ -164,8 +200,22 @@ def reconstruct_unit(
     opt = optax.adam(lr)
     opt_state = opt.init(alphas)
     n_samples = cached_outputs.shape[0]
+    if opt_mode != "mse":
+        assert cached_grads is not None, "fisher modes need cached_grads"
 
-    def loss_fn(alphas, binputs, bout, step):
+    def rec_loss(pred, bout, bgrad):
+        if opt_mode == "mse":
+            return jnp.mean(jnp.sum(jnp.abs(pred - bout) ** p_norm, axis=unit.sum_axis))
+        if opt_mode == "fisher_diag":
+            return jnp.mean(jnp.sum((pred - bout) ** 2 * bgrad ** 2, axis=unit.sum_axis))
+        # fisher_full (reference reconstruction_util.py:56-59)
+        a = jnp.abs(pred - bout)
+        g = jnp.abs(bgrad)
+        red_axes = tuple(range(1, pred.ndim))
+        dot = jnp.sum(a * g, axis=red_axes).reshape((-1,) + (1,) * (pred.ndim - 1))
+        return jnp.mean(dot * a * g) / 100.0
+
+    def loss_fn(alphas, binputs, bout, bgrad, step):
         pq = dict(sub)
         for n in unit.layers:
             pq[n] = dict(sub[n])
@@ -173,21 +223,22 @@ def reconstruct_unit(
                 params[n]["w"], wqp[n], alphas[n], cfg.w_bits, soft=True
             )
         pred = apply_fn(pq, *binputs)
-        rec = jnp.mean(jnp.sum(jnp.abs(pred - bout) ** p_norm, axis=unit.sum_axis))
+        rec = rec_loss(pred, bout, bgrad)
         b = linear_temp_decay(step.astype(jnp.float32), iters, warmup)
         reg = sum(rounding_reg_loss(a, b) for a in alphas.values())
         round_on = step >= (warmup * iters)
         return rec + jnp.where(round_on, w * reg, 0.0)
 
     @jax.jit
-    def run(key, alphas, opt_state, inputs, outputs):
+    def run(key, alphas, opt_state, inputs, outputs, grads_c):
         def step_fn(carry, step):
             alphas, opt_state = carry
             k = jax.random.fold_in(key, step)
             idx = jax.random.randint(k, (batch_size,), 0, n_samples)
             binputs = tuple(x[idx] for x in inputs)
             bout = outputs[idx]
-            loss, grads = jax.value_and_grad(loss_fn)(alphas, binputs, bout, step)
+            bgrad = grads_c[idx] if grads_c is not None else None
+            loss, grads = jax.value_and_grad(loss_fn)(alphas, binputs, bout, bgrad, step)
             updates, opt_state = opt.update(grads, opt_state)
             alphas = optax.apply_updates(alphas, updates)
             return (alphas, opt_state), loss
@@ -197,7 +248,8 @@ def reconstruct_unit(
         )
         return alphas, losses
 
-    alphas, losses = run(key, alphas, opt_state, cached_inputs, cached_outputs)
+    alphas, losses = run(key, alphas, opt_state, cached_inputs, cached_outputs,
+                         cached_grads)
     return alphas, losses
 
 

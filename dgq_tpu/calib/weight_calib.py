@@ -105,4 +105,46 @@ def quantize_model_weights(
     """One-call weight-only PTQ (the reference's no_recon path,
     src/quantize_weight.py:53,177-179): init scales then fold."""
     wqp = init_weight_qparams(params, spec, cfg.w_bits, scaler)
-    return fold_weight_quant(params, wqp, spec, cfg), wqp
+    params_q = fold_weight_quant(params, wqp, spec, cfg)
+    if cfg.use_int8_matmul:
+        params_q = attach_int8_packed(params_q, wqp, spec, cfg)
+    return params_q, wqp
+
+
+def attach_int8_packed(
+    params_q: dict,
+    wqp: Dict[str, QParams],
+    spec,
+    cfg: QConfig,
+) -> dict:
+    """Attach packed int8 weight codes for the Pallas int8-matmul deploy path.
+
+    Works on FOLDED params: folded weights sit exactly on the quantization
+    grid, so round(w_folded/delta)+zp recovers the integer codes for both
+    nearest and AdaRound rounding. Linear layers and 1x1 convs (which route
+    through the matmul kernel) get 'w_q8' / 'w_d' / 'w_z' entries.
+    """
+    from dgq_tpu.ops.pallas.int8_matmul import pack_weight_int8
+
+    out = dict(params_q)
+    for name, kind, meta in spec:
+        if name not in wqp or (cfg.disable_out_quant and name in EXCLUDED_LAYERS):
+            continue
+        p = dict(params_q[name])
+        qp = wqp[name]
+        if kind == "linear":
+            w2 = p["w"]
+        elif kind == "conv" and meta[2] == 1:
+            kh, kw, cin, cout = p["w"].shape
+            w2 = jnp.reshape(p["w"], (cin, cout))
+        else:
+            continue
+        codes, d, z = pack_weight_int8(
+            w2,
+            jnp.reshape(qp.delta, (1, -1)),
+            jnp.reshape(qp.zero_point, (1, -1)),
+            cfg.w_bits,
+        )
+        p["w_q8"], p["w_d"], p["w_z"] = codes, d, z
+        out[name] = p
+    return out

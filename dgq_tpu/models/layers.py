@@ -125,8 +125,39 @@ def quant_conv2d(
         x_unf = unfold_nhwc(x, kh, kw, stride, padding)
         x_unf = aq_apply(qstate, cfg, name, x_unf)
         return conv2d_unfolded(p, x_unf, (ho, wo))
+    if kh == 1 and kw == 1 and stride == 1:
+        qp = _int8_qp(p, qstate, cfg, name)
+        if qp is not None:
+            b, h, w, c = x.shape
+            y = _int8_matmul(p, jnp.reshape(x, (b * h * w, c)), qp, cfg)
+            return jnp.reshape(y, (b, h, w, y.shape[-1]))
     x = aq_apply(qstate, cfg, name, x)
     return conv2d(p, x, stride, padding)
+
+
+def _int8_qp(p, qstate, cfg, name):
+    """Per-tensor activation QParams for the int8 kernel path, if eligible."""
+    if not (cfg.use_int8_matmul and cfg.use_aq and qstate is not None):
+        return None
+    if "w_q8" not in p:
+        return None
+    qp = (qstate.get("a") or {}).get(name)
+    if qp is None or not hasattr(qp, "delta"):
+        return None
+    if getattr(qp.delta, "ndim", 1) != 0:
+        return None  # group scales stay on the fake-quant path
+    return qp
+
+
+def _int8_matmul(p, x2, qp, cfg):
+    from dgq_tpu.ops.pallas.int8_matmul import quantized_matmul
+
+    off = 2 ** (cfg.a_bits - 1)
+    return quantized_matmul(
+        x2, p["w_q8"], p["w_d"], p["w_z"],
+        qp.delta.astype(jnp.float32), qp.zero_point.astype(jnp.float32) - off,
+        p.get("b"), a_bits=cfg.a_bits, out_dtype=x2.dtype,
+    )
 
 
 def quant_linear(
@@ -136,7 +167,14 @@ def quant_linear(
     qstate: Optional[QState],
     cfg: QConfig,
 ) -> jax.Array:
-    """QuantLayer-linear forward: aqtizer(x) then matmul."""
+    """QuantLayer-linear forward: aqtizer(x) then matmul. With packed int8
+    weights and a per-tensor activation scale, the whole thing runs as one
+    Pallas int8 MXU kernel (quantization in-kernel, 2x bf16 throughput)."""
+    qp = _int8_qp(p, qstate, cfg, name)
+    if qp is not None:
+        x2 = jnp.reshape(x, (-1, x.shape[-1]))
+        y = _int8_matmul(p, x2, qp, cfg)
+        return jnp.reshape(y, x.shape[:-1] + (y.shape[-1],))
     x = aq_apply(qstate, cfg, name, x)
     return linear(p, x)
 

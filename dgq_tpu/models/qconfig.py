@@ -77,6 +77,10 @@ class QConfig:
     # deploy path: run attention as the fused Pallas kernel (flash-style,
     # in-kernel softmax quantization) instead of materialized XLA softmax.
     use_pallas_attention: bool = False
+    # deploy path: linears (and 1x1 convs) with per-tensor activation scales
+    # run as the int8 MXU Pallas kernel (requires packed weights attached by
+    # calib.weight_calib.attach_int8_packed).
+    use_int8_matmul: bool = False
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

@@ -37,9 +37,32 @@ NUM_HEADS = 8
 CROSS_DIM = 768
 
 
+import contextlib
+import contextvars
+
+# Injection points: add a perturbation at a unit's output during tracing.
+# Differentiating the final loss wrt the injected zero gives dL/d(unit out) —
+# the functional counterpart of the reference's backward hooks
+# (quant/data_utill.py:172-256) used for Fisher-weighted reconstruction.
+_INJECT: contextvars.ContextVar = contextvars.ContextVar("dgq_inject", default=None)
+
+
+@contextlib.contextmanager
+def inject_at(store: dict):
+    token = _INJECT.set(store)
+    try:
+        yield
+    finally:
+        _INJECT.reset(token)
+
+
 def _rec(record, key, inputs, out):
     """Stash a reconstruction unit's (inputs, output) when capturing
-    (counterpart of the reference's save_inout hooks, quant/data_utill.py:13-51)."""
+    (counterpart of the reference's save_inout hooks, quant/data_utill.py:13-51),
+    and apply any registered output injection."""
+    inj = _INJECT.get()
+    if inj is not None and key in inj:
+        out = out + inj[key]
     if record is not None:
         record[key] = (inputs, out)
     return out

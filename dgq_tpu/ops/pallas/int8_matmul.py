@@ -36,16 +36,19 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(x_ref, wq_ref, scal_ref, wsum_ref, dwzw_ref, bias_ref, o_ref):
     """One (BM, BN) output tile.
 
-    scal_ref (SMEM): [dx, zx_recentered, K] where zx_recentered = zx - 128.
-    wq int8 codes are stored recentered by -128 as well when asymmetric.
+    scal_ref (SMEM): [dx, zx_recentered, K, nb, pb] where zx_recentered =
+    zx - 2^(a_bits-1) and [nb, pb] are the recentered clip bounds
+    (A8: [-128,127]; A6: [-32,31]). wq codes are recentered the same way.
     """
     dx = scal_ref[0, 0]
     zx = scal_ref[0, 1]
     kdim = scal_ref[0, 2]
+    nb = scal_ref[0, 3]
+    pb = scal_ref[0, 4]
 
     x = x_ref[:].astype(jnp.float32)
     # quantize activations to recentered int8 codes
-    xq = jnp.clip(jnp.round(x / dx) + zx, -128, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(x / dx) + zx, nb, pb).astype(jnp.int8)
 
     acc = jax.lax.dot_general(
         xq, wq_ref[:],
@@ -64,7 +67,7 @@ def _kernel(x_ref, wq_ref, scal_ref, wsum_ref, dwzw_ref, bias_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "out_dtype")
+    jax.jit, static_argnames=("block_m", "block_n", "out_dtype", "a_bits", "interpret")
 )
 def quantized_matmul(
     x: jax.Array,                 # (M, K) float (bf16/f32)
@@ -77,6 +80,8 @@ def quantized_matmul(
     block_m: int = 256,
     block_n: int = 256,
     out_dtype=jnp.bfloat16,
+    a_bits: int = 8,
+    interpret: bool = False,
 ):
     m, k = x.shape
     _, n = wq.shape
@@ -95,8 +100,10 @@ def quantized_matmul(
     if bias is None:
         bias = jnp.zeros((np_,), jnp.float32)
 
+    off = 2 ** (a_bits - 1)
     scal = jnp.asarray(
-        [[x_delta.astype(jnp.float32), x_zp.astype(jnp.float32), float(k)]],
+        [[x_delta.astype(jnp.float32), x_zp.astype(jnp.float32), float(k),
+          float(-off), float(2 ** a_bits - 1 - off)]],
         jnp.float32,
     )
     wsum = jnp.sum(wq.astype(jnp.int32), axis=0, keepdims=True).astype(jnp.float32)
@@ -109,13 +116,14 @@ def quantized_matmul(
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
             bytes_accessed=mp * k * 2 + k * np_ + mp * np_ * 2,

@@ -1,0 +1,88 @@
+"""int8 deploy path: Pallas kernel (interpret) vs the fake-quant model path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgq_tpu.calib.weight_calib import (
+    attach_int8_packed,
+    init_weight_qparams,
+    fold_weight_quant,
+)
+from dgq_tpu.models.layers import quant_linear
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.ops.pallas.int8_matmul import (
+    pack_weight_int8,
+    quantized_matmul,
+    quantized_matmul_reference,
+)
+from dgq_tpu.quant.affine import QParams
+from dgq_tpu.quant.scalers import Scaler, init_scale
+
+
+def test_kernel_interpret_matches_reference():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(48, 96).astype(np.float32))
+    w = jnp.asarray(rng.randn(96, 130).astype(np.float32) * 0.1)
+    from dgq_tpu.calib.weight_calib import init_layer_wqp
+
+    wqp = init_layer_wqp(w, "linear", 4, Scaler.MINMAX)
+    xqp = init_scale(x, 8, Scaler.MINMAX)
+    wq, wd, wz = pack_weight_int8(w, wqp.delta, wqp.zero_point, bits=4)
+    bias = jnp.asarray(rng.randn(130).astype(np.float32))
+    ref = quantized_matmul_reference(x, wq, wd, wz, xqp.delta, xqp.zero_point - 128.0, bias)
+    out = quantized_matmul(
+        x, wq, wd, wz, xqp.delta, xqp.zero_point - 128.0, bias,
+        block_m=16, block_n=128, out_dtype=jnp.float32, interpret=True,
+    )
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+def test_int8_model_path_matches_fake_quant(monkeypatch):
+    """quant_linear with packed int8 weights == fake-quant path (f32 exact)."""
+    import dgq_tpu.ops.pallas.int8_matmul as M
+
+    orig = M.quantized_matmul
+
+    def wrapper(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(M, "quantized_matmul", wrapper)
+
+    rng = np.random.RandomState(1)
+    name = "L"
+    spec = [(name, "linear", (64, 32, True))]
+    params = {name: {
+        "w": jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.randn(32).astype(np.float32)),
+    }}
+    cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True, use_int8_matmul=True)
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, cfg)
+    pq = attach_int8_packed(pq, wqp, spec, cfg)
+    assert "w_q8" in pq[name]
+
+    x = jnp.asarray(rng.randn(4, 7, 64).astype(np.float32))
+    xqp = init_scale(x, 8, Scaler.MINMAX)
+    qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point)}, "sm": {}}
+
+    out_int8 = quant_linear(pq[name], x, name, qstate, cfg)
+    out_fake = quant_linear(pq[name], x, name, qstate, cfg.replace(use_int8_matmul=False))
+    assert out_int8.shape == out_fake.shape
+    assert np.allclose(np.asarray(out_int8), np.asarray(out_fake), atol=2e-3), \
+        np.abs(np.asarray(out_int8) - np.asarray(out_fake)).max()
+
+
+def test_group_scales_stay_on_fake_path():
+    """Group activation params must NOT take the int8 kernel (delta not scalar)."""
+    from dgq_tpu.models.qconfig import GroupQParams
+    from dgq_tpu.models.layers import _int8_qp
+
+    p = {"w_q8": jnp.zeros((4, 4), jnp.int8)}
+    cfg = QConfig(use_aq=True, use_int8_matmul=True)
+    g = GroupQParams(jnp.ones((4,)), jnp.zeros((4,)), jnp.ones((1,)), jnp.zeros((1,)))
+    assert _int8_qp(p, {"a": {"L": g}}, cfg, "L") is None
+    qp = QParams(jnp.asarray(0.1), jnp.asarray(0.0))
+    assert _int8_qp(p, {"a": {"L": qp}}, cfg, "L") is not None
