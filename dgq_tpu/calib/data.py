@@ -91,6 +91,19 @@ def generate_sd_cali_data(
     return (jnp.asarray(lmi_all), jnp.asarray(t_all), jnp.asarray(ehs_all)), interval
 
 
+def get_coco_prompts(path: str, num: int = 64, seed: Optional[int] = None) -> list[str]:
+    """Sample captions from a COCO annotations json (reference
+    src/dataset_generation.py:12-19 uses pandas .sample; plain random here)."""
+    import json
+    import random
+
+    with open(path) as f:
+        anns = json.load(f)["annotations"]
+    captions = [a["caption"] for a in anns]
+    rng = random.Random(seed)
+    return rng.sample(captions, num)
+
+
 def synthetic_prompt_embeddings(
     n: int, seq: int = 77, dim: int = 768, seed: int = 0
 ) -> tuple[jax.Array, jax.Array]:

@@ -269,12 +269,15 @@ def calibrate_weights(
     unet_apply=unet_sd_apply,
     progress: Optional[Callable[[str], None]] = None,
     max_units: Optional[int] = None,
+    partial_dir: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Full weight-reconstruction pass (reference cali_model weight phase,
     calibration.py:100-197). Returns AdaRound alphas per quantized layer.
 
     cali_data: (samples NHWC, timesteps, encoder_hidden_states) stacked arrays.
-    max_units limits the walk (debug/tests only).
+    max_units limits the walk (debug/tests only). partial_dir saves one .pth
+    per unit as it completes (reference calibration.py:456-466), enabling
+    crash recovery via ckpt_tools check.
     """
     units = recon_units(spec)
     if max_units is not None:
@@ -320,4 +323,15 @@ def calibrate_weights(
             w=w, warmup=warmup,
         )
         all_alphas.update(alphas)
+        if partial_dir:
+            import os
+
+            from dgq_tpu.io.dgq_ckpt import save_pth
+
+            os.makedirs(partial_dir, exist_ok=True)
+            save_pth(
+                {f"{n[len(unit.name) + 1:] if n != unit.name else 'layer'}"
+                 f".wqtizer.alpha": np.asarray(alphas[n]) for n in alphas},
+                os.path.join(partial_dir, f"{unit.name}.pth"),
+            )
     return all_alphas

@@ -60,7 +60,15 @@ def main():
     t = jnp.full((b,), 500, jnp.int32)
     ehs = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 768), dtype)
 
+    cfg_int8 = cfg_q.replace(use_int8_matmul=True)
+    from dgq_tpu.calib.weight_calib import attach_int8_packed, init_weight_qparams
+    with jax.default_device(jax.devices("cpu")[0]):
+        wqp8 = init_weight_qparams(params, spec, cfg_q.w_bits, Scaler.MINMAX)
+        params_q = attach_int8_packed(params_q, wqp8, spec, cfg_int8)
+    params_q = jax.device_put(params_q, jax.devices()[0])
+
     variants = {
+        "full_w4a8_int8": cfg_int8,
         "full_w4a8_pallas": cfg_q,
         "w4a8_xla_attn": cfg_q.replace(use_pallas_attention=False),
         "w4_only_pallas": cfg_q.replace(use_aq=False),
