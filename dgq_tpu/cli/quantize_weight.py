@@ -38,6 +38,9 @@ def parse_args():
     ap.add_argument("--cali_data_path", default="./data/cali_data")
     ap.add_argument("--step_size", type=int, default=-1)
     ap.add_argument("--no_recon", action="store_true")
+    ap.add_argument("--resume_w", default=None,
+                    help="resume from an existing weight-only checkpoint "
+                         "(skips reconstruction; reference --resume_w)")
     ap.add_argument("--fast", action="store_true", help="minmax init")
     ap.add_argument("--debug", action="store_true",
                     help="= --fast, 4 prompts, 10 iters")
@@ -70,6 +73,17 @@ def main():
         args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
     )
     cfg = qconfig_from_args(args, use_wq=True)
+
+    if args.resume_w:
+        from dgq_tpu.io.dgq_ckpt import load_weight_only
+
+        log.info(f"resuming from {args.resume_w}")
+        params, wqp, alphas = load_weight_only(args.resume_w, spec)
+        path = os.path.join(outpath, "cali_ckpt.pth")
+        save_weight_only(f"{path}_weight_only", params, wqp, spec,
+                         alphas=alphas or None)
+        log.info(f"resumed checkpoint re-saved to {path}_weight_only")
+        return
 
     scaler = Scaler.MINMAX if (args.fast or not args.cali) else Scaler.MSE
     log.info(f"weight scale init: {scaler} w{args.wq}")

@@ -38,21 +38,42 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _log2_quant_bits(p, delta, level):
+    """round(-log2(p/delta)) clamp [0, level-1] then 2^-q * delta — computed
+    with float bit manipulation instead of transcendentals (log2/exp2 cost
+    ~2 VPU transcendental ops per element; this is shifts and compares).
+
+    For y = m * 2^e (m in [1,2)): round(log2(y)) = e + (m >= sqrt(2)).
+    """
+    y = (p / delta).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(y, jnp.int32)
+    e = (bits >> 23) - 127
+    mant_ge_sqrt2 = (bits & 0x007FFFFF) >= 0x003504F3  # mantissa of sqrt(2)
+    rlog2 = e + mant_ge_sqrt2.astype(jnp.int32)        # round(log2(y)), y<=1 -> <=0
+    q = jnp.clip(-rlog2, 0, level - 1)
+    pow2 = jax.lax.bitcast_convert_type((127 - q) << 23, jnp.float32)  # 2^-q
+    return pow2 * delta
+
+
 # ------------------------------------------------------------- phase 1 ------
 def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
     """Row max and normalizer over all key blocks (one grid cell = q tile)."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]  # keep bf16: the MXU runs bf16 at 4x f32 throughput
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
+    # masking is only needed when S was padded; self-attention (S = tiles)
+    # skips the per-element iota/compare/where entirely (VPU-bound otherwise)
+    needs_mask = s_valid < s_total
 
     def body(j, carry):
         m, l = carry
-        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-        s = jnp.where(col < s_valid, s, NEG_INF)
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+            s = jnp.where(col < s_valid, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
         return m_new, l
@@ -69,36 +90,40 @@ def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
 def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
                   scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
     """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]
     m = m_ref[0]
-    l = l_ref[0]
+    inv_l = 1.0 / l_ref[0]
     delta = delta_ref[0, 0]
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     level = 2 ** sm_bits
+    needs_mask = s_valid < s_total
 
     def body(j, acc):
-        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-        s = jnp.where(col < s_valid, s, NEG_INF)
-        p = jnp.exp(s - m) / l
+        ) * scale
+        col = None
+        if needs_mask or start_peak:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        if needs_mask:
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        p = jnp.exp(s - m) * inv_l
         if sm_mode == "log2":
-            pq = jnp.round(-jnp.log2(p / delta))
-            pq = jnp.clip(pq, 0, level - 1)
-            pq = (2.0 ** (-pq)) * delta
+            pq = _log2_quant_bits(p, delta, level)
         elif sm_mode == "uniform":
             pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
         else:
             pq = p
         if start_peak:
             pq = jnp.where(col == 0, p, pq)
-        pq = jnp.where(col < s_valid, pq, 0.0)
-        v = v_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        if needs_mask:
+            pq = jnp.where(col < s_valid, pq, 0.0)
+        v = v_ref[0, pl.ds(j * block_s, block_s), :]
         return acc + jax.lax.dot_general(
-            pq, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pq.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
@@ -108,27 +133,30 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
 
 # ------------------------------------------------------- single-pass FP -----
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     bt = q.shape[0]
     d = v_ref.shape[2]
+    needs_mask = s_valid < s_total
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-        s = jnp.where(col < s_valid, s, NEG_INF)
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+            s = jnp.where(col < s_valid, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, pl.ds(j * block_s, block_s), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_s, block_s), :]
         acc = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
 
@@ -160,7 +188,9 @@ def fused_attention(
 ) -> jax.Array:
     bh, t, d = q.shape
     s = k.shape[1]
-    dp = _round_up(d, 128)
+    # pad head_dim to a half-register (64) when possible: SD heads are 40/80
+    # wide, and padding to 128 wastes up to 3.2x MXU work on the D contraction
+    dp = _round_up(d, 64 if d <= 64 else 128)
     bt = min(block_t, _round_up(t, 8))
     bs = min(block_s, _round_up(s, 128))
     tp = _round_up(t, bt)
