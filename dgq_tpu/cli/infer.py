@@ -35,6 +35,8 @@ def parse_args():
     ap.add_argument("--vae_weights", default=None, help="HF VAE dir")
     ap.add_argument("--tokenizer", default=None, help="local CLIPTokenizer dir")
     ap.add_argument("--base", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--outdir", default=".")
     return ap.parse_args()
 
@@ -111,13 +113,17 @@ def main():
             tokenizer=tokenizer, cfg=c, qstate=qs, time_aware=ta,
             unet_apply=apply_fn,
         )
+        hw = dict(
+            height=args.height or (512 if args.model == "sd" else 1024),
+            width=args.width or (512 if args.model == "sd" else 1024),
+        )
         if tokenizer is not None and text_params is not None:
-            imgs = pipe([args.prompt] * 2, steps=steps, seed=args.seed)
+            imgs = pipe([args.prompt] * 2, steps=steps, seed=args.seed, **hw)
         else:
             text, uncond = synthetic_prompt_embeddings(2, dim=cross, seed=args.seed)
             imgs = pipe.generate_from_embeddings(
                 text, uncond, steps=steps, seed=args.seed,
-                scheduler="pndm" if args.model == "sd" else "ddim",
+                scheduler="pndm" if args.model == "sd" else "ddim", **hw,
             )
         for i in range(imgs.shape[0]):
             name = f"tmp_{args.model}_{args.prompt.replace(' ', '_')}_{i}_{tag}"

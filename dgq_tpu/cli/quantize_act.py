@@ -31,6 +31,7 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--unet_weights", default=None)
     ap.add_argument("--base", type=int, default=None)
+    ap.add_argument("--latent_hw", type=int, default=None)
     args = ap.parse_args()
     if args.step_size < 0:
         args.step_size = 25 if args.model == "sd" else 4
@@ -63,8 +64,8 @@ def main():
     cali_data, interval = generate_sd_cali_data(
         params, text, uncond, steps=args.step_size,
         scheduler="pndm" if args.model == "sd" else "ddim",
-        latent_hw=latent_hw, seed=args.seed, cache_path=cache,
-        unet_apply=apply_fn,
+        latent_hw=args.latent_hw or latent_hw, seed=args.seed,
+        cache_path=cache, unet_apply=apply_fn,
     )
     per_t, group_layers = calibrate_activations(
         params_q, spec, cfg, cali_data, interval=interval,

@@ -50,6 +50,8 @@ def parse_args():
                     help="path to torch UNet state dict (HF snapshot)")
     ap.add_argument("--base", type=int, default=None,
                     help="override model width (tiny smoke runs)")
+    ap.add_argument("--latent_hw", type=int, default=None,
+                    help="override latent size (tiny smoke runs)")
     args = ap.parse_args()
     if args.debug:
         args.fast = True
@@ -99,8 +101,8 @@ def main():
         cali_data, interval = generate_sd_cali_data(
             params, text, uncond, steps=args.step_size,
             scheduler="pndm" if args.model == "sd" else "ddim",
-            latent_hw=latent_hw, seed=args.seed, cache_path=cache,
-            unet_apply=apply_fn,
+            latent_hw=args.latent_hw or latent_hw, seed=args.seed,
+            cache_path=cache, unet_apply=apply_fn,
         )
         log.info(f"calibration set: {cali_data[0].shape[0]} samples, interval {interval}")
         alphas = calibrate_weights(

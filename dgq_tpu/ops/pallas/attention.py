@@ -51,7 +51,10 @@ def _log2_quant_bits(p, delta, level):
     mant_ge_sqrt2 = (bits & 0x007FFFFF) >= 0x003504F3  # mantissa of sqrt(2)
     rlog2 = e + mant_ge_sqrt2.astype(jnp.int32)        # round(log2(y)), y<=1 -> <=0
     q = jnp.clip(-rlog2, 0, level - 1)
-    pow2 = jax.lax.bitcast_convert_type((127 - q) << 23, jnp.float32)  # 2^-q
+    # exponent-field construction of 2^-q is only valid for q <= 126; beyond
+    # that f32 underflows to 0 (the reference's 2.0**-q does the same)
+    pow2 = jax.lax.bitcast_convert_type(jnp.maximum(127 - q, 0) << 23, jnp.float32)
+    pow2 = jnp.where(q > 126, 0.0, pow2)
     return pow2 * delta
 
 
@@ -89,15 +92,26 @@ def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
 # ------------------------------------------------------------- phase 2 ------
 def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
                   scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
-    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
+    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM.
+
+    log2 mode is transcendental-free: -log2(p/delta) with p = exp(s-m)/l is
+    LINEAR in the raw score,
+        -log2(p/delta) = log2(delta) + (m + ln l - s) / ln 2,
+    so the quantized exponent is round(a - s/ln2) and 2^-q is constructed by
+    exponent-field bit manipulation. Phase 2 runs no exp/log at all.
+    """
     q = q_ref[0]
     m = m_ref[0]
-    inv_l = 1.0 / l_ref[0]
+    l = l_ref[0]
+    inv_l = 1.0 / l
     delta = delta_ref[0, 0]
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     level = 2 ** sm_bits
     needs_mask = s_valid < s_total
+    inv_ln2 = 1.4426950408889634
+    # per-row affine constant: q_exp = round(a_row - s * inv_ln2)
+    a_row = jnp.log2(delta) + (m + jnp.log(l)) * inv_ln2  # (bt, 1)
 
     def body(j, acc):
         k = k_ref[0, pl.ds(j * block_s, block_s), :]
@@ -109,15 +123,20 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
         if needs_mask:
             s = jnp.where(col < s_valid, s, NEG_INF)
-        p = jnp.exp(s - m) * inv_l
         if sm_mode == "log2":
-            pq = _log2_quant_bits(p, delta, level)
+            qexp = jnp.clip(jnp.round(a_row - s * inv_ln2), 0.0, float(level - 1))
+            qi = qexp.astype(jnp.int32)
+            # 2^-q by exponent-field construction; q > 126 underflows to 0
+            pq = jax.lax.bitcast_convert_type(
+                jnp.maximum(127 - qi, 0) << 23, jnp.float32)
+            pq = jnp.where(qi > 126, 0.0, pq) * delta
         elif sm_mode == "uniform":
+            p = jnp.exp(s - m) * inv_l
             pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
         else:
-            pq = p
+            pq = jnp.exp(s - m) * inv_l
         if start_peak:
-            pq = jnp.where(col == 0, p, pq)
+            pq = jnp.where(col == 0, jnp.exp(s - m) * inv_l, pq)
         if needs_mask:
             pq = jnp.where(col < s_valid, pq, 0.0)
         v = v_ref[0, pl.ds(j * block_s, block_s), :]
