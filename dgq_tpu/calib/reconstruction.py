@@ -253,6 +253,97 @@ def reconstruct_unit(
     return alphas, losses
 
 
+def tib_unit(spec) -> ReconUnit:
+    """Temporal-information block (TFMQ-style, reference quant_block.py:35-77 +
+    reconstruction.py:205-301): the time-embedding MLP plus every resnet's
+    time_emb_proj, reconstructed jointly against the FP tuple of all temb
+    projections."""
+    layers = ["time_embedding.linear_1", "time_embedding.linear_2"] + [
+        n for n, k, _ in spec if k == "linear" and n.endswith(".time_emb_proj")
+    ]
+    return ReconUnit("tib", "time_embedding", tuple(layers), (), -1)
+
+
+def make_tib_apply(spec, cfg: QConfig) -> Callable:
+    """(params, timesteps) -> tuple of every time_emb_proj output.
+
+    Mirrors QuantTemporalInformationBlock.forward (quant_block.py:52-65):
+    t -> sinusoidal proj -> embedding MLP -> silu -> each proj."""
+    from dgq_tpu.models.layers import quant_linear, silu, timestep_embedding
+
+    proj_names = [n for n, k, _ in spec if k == "linear" and n.endswith(".time_emb_proj")]
+
+    def apply_fn(p, timesteps):
+        base = p["time_embedding.linear_1"]["w"].shape[0]
+        t_emb = timestep_embedding(timesteps, base)
+        emb = quant_linear(p["time_embedding.linear_1"], t_emb, "time_embedding.linear_1", None, cfg)
+        emb = silu(emb)
+        emb = quant_linear(p["time_embedding.linear_2"], emb, "time_embedding.linear_2", None, cfg)
+        temb = silu(emb)
+        return tuple(
+            quant_linear(p[n], temb, n, None, cfg) for n in proj_names
+        )
+
+    return apply_fn
+
+
+def reconstruct_tib(
+    key: jax.Array,
+    params: dict,
+    spec,
+    wqp: Dict[str, QParams],
+    timesteps: jax.Array,
+    cfg: QConfig,
+    iters: int = 20000,
+    batch_size: int = 32,
+    w: float = 0.01,
+    warmup: float = 0.2,
+    p_norm: float = 2.0,
+    lr: float = 1e-3,
+) -> Dict[str, jax.Array]:
+    """tib_reconstruction (reference reconstruction.py:205-301): joint AdaRound
+    over the temporal-information block, loss summed over the output tuple
+    (LossFuncTimeEmbedding, reconstruction_util.py:94-173)."""
+    unit = tib_unit(spec)
+    apply_fn = make_tib_apply(spec, cfg)
+    sub = {n: params[n] for n in unit.layers}
+    alphas = {n: adaround_init_alpha(params[n]["w"], wqp[n].delta) for n in unit.layers}
+    opt = optax.adam(lr)
+    opt_state = opt.init(alphas)
+    fp_outs = apply_fn(sub, timesteps)
+    n_samples = timesteps.shape[0]
+
+    def loss_fn(alphas, bt, bouts, step):
+        pq = {n: dict(sub[n]) for n in unit.layers}
+        for n in unit.layers:
+            pq[n]["w"] = adaround_quant(params[n]["w"], wqp[n], alphas[n], cfg.w_bits, soft=True)
+        preds = apply_fn(pq, bt)
+        rec = sum(
+            jnp.mean(jnp.sum(jnp.abs(pr - tg) ** p_norm, axis=-1))
+            for pr, tg in zip(preds, bouts)
+        )
+        b = linear_temp_decay(step.astype(jnp.float32), iters, warmup)
+        reg = sum(rounding_reg_loss(a, b) for a in alphas.values())
+        return rec + jnp.where(step >= warmup * iters, w * reg, 0.0)
+
+    @jax.jit
+    def run(key, alphas, opt_state):
+        def step_fn(carry, step):
+            alphas, opt_state = carry
+            k = jax.random.fold_in(key, step)
+            idx = jax.random.randint(k, (batch_size,), 0, n_samples)
+            bouts = tuple(o[idx] for o in fp_outs)
+            loss, grads = jax.value_and_grad(loss_fn)(alphas, timesteps[idx], bouts, step)
+            updates, opt_state = opt.update(grads, opt_state)
+            alphas = optax.apply_updates(alphas, updates)
+            return (alphas, opt_state), loss
+
+        return jax.lax.scan(step_fn, (alphas, opt_state), jnp.arange(iters))
+
+    (alphas, _), losses = run(key, alphas, opt_state)
+    return alphas, losses
+
+
 def calibrate_weights(
     params: dict,
     spec,
@@ -270,6 +361,7 @@ def calibrate_weights(
     progress: Optional[Callable[[str], None]] = None,
     max_units: Optional[int] = None,
     partial_dir: Optional[str] = None,
+    tib_recon: bool = False,
 ) -> Dict[str, jax.Array]:
     """Full weight-reconstruction pass (reference cali_model weight phase,
     calibration.py:100-197). Returns AdaRound alphas per quantized layer.
@@ -277,7 +369,9 @@ def calibrate_weights(
     cali_data: (samples NHWC, timesteps, encoder_hidden_states) stacked arrays.
     max_units limits the walk (debug/tests only). partial_dir saves one .pth
     per unit as it completes (reference calibration.py:456-466), enabling
-    crash recovery via ckpt_tools check.
+    crash recovery via ckpt_tools check. tib_recon reconstructs the
+    temporal-information block jointly (TFMQ) and excludes its layers from
+    the per-block walks (reference quant_emb, quant_model.py:75-78).
     """
     units = recon_units(spec)
     if max_units is not None:
@@ -285,6 +379,25 @@ def calibrate_weights(
     key = jax.random.PRNGKey(seed)
     all_alphas: Dict[str, jax.Array] = {}
     n = cali_data[0].shape[0]
+
+    tib_layers: set = set()
+    if tib_recon:
+        if progress:
+            progress("reconstructing temporal information block (TFMQ)")
+        tu = tib_unit(spec)
+        tib_layers = set(tu.layers)
+        tib_alphas, _ = reconstruct_tib(
+            jax.random.fold_in(key, 987), params, spec, wqp, cali_data[1],
+            cfg, iters=iters, batch_size=batch_size, w=w, warmup=warmup,
+        )
+        all_alphas.update(tib_alphas)
+        units = [
+            dataclasses.replace(
+                u, layers=tuple(l for l in u.layers if l not in tib_layers)
+            )
+            for u in units
+        ]
+        units = [u for u in units if u.layers]
 
     def batched_capture(p, unit_name):
         ins, outs = None, None

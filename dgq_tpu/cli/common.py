@@ -61,22 +61,10 @@ def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
         raise ValueError(f"unknown model type {model_type}")
 
     if hf_unet_path:
-        import torch
-
         from dgq_tpu.io.convert import torch_unet_to_params
+        from dgq_tpu.io.hf_loader import load_state_dict_any
 
-        state_file = hf_unet_path
-        if os.path.isdir(hf_unet_path):
-            for cand in ("diffusion_pytorch_model.bin", "unet.pth", "pytorch_model.bin"):
-                p = os.path.join(hf_unet_path, cand)
-                if os.path.exists(p):
-                    state_file = p
-                    break
-        state = {
-            k: v.numpy()
-            for k, v in torch.load(state_file, map_location="cpu", weights_only=False).items()
-        }
-        params = torch_unet_to_params(state, spec)
+        params = torch_unet_to_params(load_state_dict_any(hf_unet_path), spec)
     else:
         params = init(jax.random.PRNGKey(seed), spec=spec)
     return spec, params, apply_fn, latent_hw, cross

@@ -111,21 +111,17 @@ def main():
     # text encoder / tokenizer optional; fall back to synthetic embeddings
     text_params = tokenizer = vae_params = None
     if args.text_weights and args.tokenizer:
-        import torch
-
+        from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
         from transformers import CLIPTokenizer
 
-        state = torch.load(args.text_weights, map_location="cpu", weights_only=False)
-        text_params = hf_clip_text_to_params({k: v.numpy() for k, v in state.items()})
+        text_params = hf_clip_text_to_params(load_state_dict_any(args.text_weights))
         tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
     if args.vae_weights:
-        import torch
-
+        from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.vae import hf_vae_to_params
 
-        state = torch.load(args.vae_weights, map_location="cpu", weights_only=False)
-        vae_params = hf_vae_to_params({k: v.numpy() for k, v in state.items()})
+        vae_params = hf_vae_to_params(load_state_dict_any(args.vae_weights))
 
     pipe = SDPipeline(
         unet_params=params_q, text_params=text_params, vae_params=vae_params,

@@ -83,19 +83,15 @@ def main():
     # text encoder / VAE (optional local weights)
     text_params = vae_params = tokenizer = None
     if args.text_weights:
-        import torch
-
+        from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
 
-        state = torch.load(args.text_weights, map_location="cpu", weights_only=False)
-        text_params = hf_clip_text_to_params({k: v.numpy() for k, v in state.items()})
+        text_params = hf_clip_text_to_params(load_state_dict_any(args.text_weights))
     if args.vae_weights:
-        import torch
-
+        from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.vae import hf_vae_to_params
 
-        state = torch.load(args.vae_weights, map_location="cpu", weights_only=False)
-        vae_params = hf_vae_to_params({k: v.numpy() for k, v in state.items()})
+        vae_params = hf_vae_to_params(load_state_dict_any(args.vae_weights))
     if args.tokenizer:
         from transformers import CLIPTokenizer
 

@@ -62,3 +62,53 @@ def test_fisher_reconstruction_runs(tiny):
         )
         assert set(alphas) == set(unit.layers)
         assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_tib_reconstruction(tiny):
+    """TFMQ temporal-information-block joint reconstruction."""
+    from dgq_tpu.calib.reconstruction import make_tib_apply, reconstruct_tib, tib_unit
+
+    spec, params, batch = tiny
+    cfg = QConfig(w_bits=4, use_wq=True)
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    unit = tib_unit(spec)
+    # every resnet's time_emb_proj + the embedding MLP
+    assert "time_embedding.linear_1" in unit.layers
+    assert sum(l.endswith(".time_emb_proj") for l in unit.layers) == 22
+
+    ts = jnp.asarray(np.arange(1, 999, 113), jnp.int32)
+    alphas, losses = reconstruct_tib(
+        jax.random.PRNGKey(0), params, spec, wqp, ts, cfg, iters=5, batch_size=4
+    )
+    assert set(alphas) == set(unit.layers)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # joint outputs: fp vs hard-adaround stay close at w4
+    apply_fn = make_tib_apply(spec, cfg)
+    sub = {n: params[n] for n in unit.layers}
+    fp = apply_fn(sub, ts)
+    pq = {n: dict(params[n]) for n in unit.layers}
+    from dgq_tpu.quant.adaround import adaround_quant
+    for n in unit.layers:
+        pq[n]["w"] = adaround_quant(params[n]["w"], wqp[n], alphas[n], 4, soft=False)
+    qq = apply_fn(pq, ts)
+    rel = float(
+        sum(jnp.linalg.norm(a - b) for a, b in zip(qq, fp))
+        / sum(jnp.linalg.norm(b) for b in fp)
+    )
+    assert rel < 0.2, rel
+
+
+def test_calibrate_weights_tib_mode(tiny):
+    from dgq_tpu.calib.reconstruction import calibrate_weights
+
+    spec, params, batch = tiny
+    cfg = QConfig(w_bits=4, use_wq=True)
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    alphas = calibrate_weights(
+        params, spec, cfg, wqp, batch, iters=3, batch_size=2, capture_batch=2,
+        asym=False, max_units=3, tib_recon=True,
+    )
+    # tib layers present even though max_units truncated the walk
+    assert "time_embedding.linear_1" in alphas
+    assert any(k.endswith(".time_emb_proj") for k in alphas)
