@@ -201,8 +201,8 @@ def fused_attention(
     sm_bits: int = 8,
     sm_delta: Optional[jax.Array] = None,   # static delta (log2/uniform modes)
     start_peak: bool = False,
-    block_t: int = 256,
-    block_s: int = 512,
+    block_t: int = 512,
+    block_s: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     bh, t, d = q.shape
