@@ -31,8 +31,77 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 A6000_REF_IMGS_PER_SEC = 0.20
 
 
+def bench_sdxl(args):
+    """SDXL-turbo W4A8 1024px (BASELINE config 5): 4-step Euler, guidance 0."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dgq_tpu.calib.act_calib import act_qpoint_names
+    from dgq_tpu.calib.weight_calib import quantize_model_weights
+    from dgq_tpu.models.qconfig import QConfig
+    from dgq_tpu.models.unet_sdxl import init_unet_sdxl, sdxl_unet_spec, unet_sdxl_apply
+    from dgq_tpu.pipeline.sampler import sdxl_turbo_sample
+    from dgq_tpu.quant.affine import QParams
+    from dgq_tpu.quant.scalers import Scaler
+
+    dtype = jnp.bfloat16
+    dev = jax.devices()[0]
+    spec = sdxl_unet_spec()
+    cfg = QConfig(
+        w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
+        t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
+        use_pallas_attention=not args.no_pallas_attn,
+    )
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_unet_sdxl(jax.random.PRNGKey(0))
+        params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+        params_q = jax.tree.map(
+            lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
+            params_q, is_leaf=lambda x: x is None,
+        )
+    params_q = jax.device_put(params_q, dev)
+    jax.block_until_ready(params_q)
+    del params
+    print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype), jnp.asarray(128.0, dtype))
+                    for n in act_qpoint_names(spec)}, "sm": {}}
+    b = args.batch
+    latents = jax.random.normal(jax.random.PRNGKey(1), (b, 128, 128, 4), dtype)
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 2048), dtype)
+    te = jax.random.normal(jax.random.PRNGKey(3), (b, 1280), dtype)
+    tid = jnp.tile(jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]], dtype), (b, 1))
+
+    run = jax.jit(functools.partial(
+        sdxl_turbo_sample, unet_apply=unet_sdxl_apply,
+        num_inference_steps=args.steps, cfg=cfg,
+    ))
+    t0 = time.perf_counter()
+    out = run(params_q, latents, ehs, te, tid, qstate=qstate)
+    _ = np.asarray(jax.device_get(out)).sum()
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out = run(params_q, latents, ehs, te, tid, qstate=qstate)
+        _ = np.asarray(jax.device_get(out)).sum()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"sdxl_turbo_w4a8_images_per_sec_per_chip_{args.steps}step_1024px",
+        "value": round(b / best, 4),
+        "unit": "img/s",
+        "vs_baseline": round(b / best / A6000_REF_IMGS_PER_SEC, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
     ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
@@ -42,6 +111,10 @@ def main():
     ap.add_argument("--no-pallas-attn", action="store_true",
                     help="use the XLA materialized-softmax path")
     args = ap.parse_args()
+    if args.model == "sdxl":
+        if args.steps == 50:
+            args.steps = 4
+        return bench_sdxl(args)
 
     import jax
     import jax.numpy as jnp
