@@ -28,7 +28,8 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgq_jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-A6000_REF_IMGS_PER_SEC = 0.20
+A6000_REF_IMGS_PER_SEC = 0.20         # SD v1.4, 50-step 512px (estimate)
+A6000_REF_SDXL_IMGS_PER_SEC = 0.40    # SDXL-turbo, 4-step 1024px (estimate)
 
 
 def bench_sdxl(args):
@@ -95,7 +96,7 @@ def bench_sdxl(args):
         "metric": f"sdxl_turbo_w4a8_images_per_sec_per_chip_{args.steps}step_1024px",
         "value": round(b / best, 4),
         "unit": "img/s",
-        "vs_baseline": round(b / best / A6000_REF_IMGS_PER_SEC, 3),
+        "vs_baseline": round(b / best / A6000_REF_SDXL_IMGS_PER_SEC, 3),
     }))
 
 

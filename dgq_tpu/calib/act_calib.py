@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgq_tpu.models.layers import unfold_nhwc
 from dgq_tpu.models.qconfig import (
     GroupQParams,
     QConfig,

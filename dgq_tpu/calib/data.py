@@ -16,13 +16,12 @@ reference's torch.save cache (dataset_generation.py:54-56).
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgq_tpu.models.qconfig import QConfig
 from dgq_tpu.pipeline.sampler import sd_sample
 
 

@@ -13,7 +13,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def model_type_from_env(default: str = "sd") -> str:

@@ -12,8 +12,6 @@ import csv
 import os
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dgq_tpu.cli.common import (

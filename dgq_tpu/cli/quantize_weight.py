@@ -14,9 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
-import numpy as np
-
 from dgq_tpu.cli.common import (
     add_quant_args,
     build_model,

@@ -18,7 +18,7 @@ statistics math is tested without any pretrained weights.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

@@ -18,11 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgq_tpu.models.layers import (
-    attention,
     basic_transformer_block,
     conv2d,
     group_norm,
-    layer_norm,
     linear,
     quant_conv2d,
     quant_linear,

@@ -27,7 +27,6 @@ from dgq_tpu.models.layers import (
     group_norm,
     quant_conv2d,
     quant_linear,
-    resnet_block,
     silu,
     timestep_embedding,
     upsample_nearest2x,

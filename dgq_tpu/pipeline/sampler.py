@@ -14,7 +14,6 @@ whole loop is one `lax.scan` compiled into a single XLA program:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

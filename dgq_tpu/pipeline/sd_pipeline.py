@@ -8,7 +8,6 @@ every stage also runs with random weights for tests/benchmarks.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -10,7 +10,7 @@ with jit/vmap/scan and the weight path can be folded at load time.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
