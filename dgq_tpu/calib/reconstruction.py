@@ -91,20 +91,83 @@ def recon_units(spec) -> list[ReconUnit]:
     return units
 
 
-def make_unit_apply(unit: ReconUnit, cfg: QConfig) -> Callable:
-    """Pure apply fn (params, *inputs) -> output for one unit."""
+def make_unit_apply(unit: ReconUnit, cfg: QConfig, with_qstate: bool = False) -> Callable:
+    """Pure apply fn (params, *inputs) -> output for one unit.
+
+    with_qstate=True returns (params, qstate, *inputs) -> output, for the
+    activation-delta reconstruction mode."""
     if unit.kind == "resnet":
         has_shortcut = any(l.endswith("conv_shortcut") for l in unit.layers)
-        return lambda p, x, temb: resnet_block(
-            p, unit.name, x, temb, None, cfg, has_shortcut)
-    if unit.kind == "transformer":
-        return lambda p, x, ehs: basic_transformer_block(
-            p, unit.name, x, ehs, NUM_HEADS, None, cfg)
-    lkind, meta = unit.meta
-    if lkind == "conv":
-        _, _, k, stride, pad = meta
-        return lambda p, x: quant_conv2d(p[unit.name], x, unit.name, None, cfg, stride, pad)
-    return lambda p, x: quant_linear(p[unit.name], x, unit.name, None, cfg)
+        fn = lambda p, qs, x, temb: resnet_block(
+            p, unit.name, x, temb, qs, cfg, has_shortcut)
+    elif unit.kind == "transformer":
+        fn = lambda p, qs, x, ehs: basic_transformer_block(
+            p, unit.name, x, ehs, NUM_HEADS, qs, cfg)
+    else:
+        lkind, meta = unit.meta
+        if lkind == "conv":
+            _, _, k, stride, pad = meta
+            fn = lambda p, qs, x, _s=stride, _pd=pad: quant_conv2d(
+                p[unit.name], x, unit.name, qs, cfg, _s, _pd)
+        else:
+            fn = lambda p, qs, x: quant_linear(p[unit.name], x, unit.name, qs, cfg)
+    if with_qstate:
+        return fn
+    return lambda p, *inputs: fn(p, None, *inputs)
+
+
+def reconstruct_unit_act_deltas(
+    key: jax.Array,
+    unit: ReconUnit,
+    params_q: dict,
+    qstate_unit: dict,
+    cached_inputs: tuple,
+    cached_outputs: jax.Array,
+    cfg: QConfig,
+    iters: int = 20000,
+    batch_size: int = 32,
+    p_norm: float = 2.0,
+    lr: float = 4e-5,
+):
+    """Activation-delta reconstruction (the reference's use_aq branch,
+    reconstruction.py:45-48,137-159): Adam on the unit's activation-quantizer
+    deltas with cosine-annealed lr, Lp reconstruction loss against FP outputs.
+
+    params_q: weight-quantized (folded) params. qstate_unit: {'a': {...}}
+    restricted to this unit's activation quantizers (per-tensor QParams).
+    Returns the optimized qstate subset.
+    """
+    apply_fn = make_unit_apply(unit, cfg.replace(use_aq=True), with_qstate=True)
+    sub = _sub_params(params_q, unit)
+    opt = optax.adam(optax.cosine_decay_schedule(lr, iters))
+    deltas = {n: qp.delta for n, qp in qstate_unit["a"].items()}
+    zps = {n: qp.zero_point for n, qp in qstate_unit["a"].items()}
+    opt_state = opt.init(deltas)
+    n_samples = cached_outputs.shape[0]
+
+    def loss_fn(deltas, binputs, bout):
+        qs = {"a": {n: QParams(deltas[n], zps[n]) for n in deltas},
+              "sm": qstate_unit.get("sm", {})}
+        pred = apply_fn(sub, qs, *binputs)
+        return jnp.mean(jnp.sum(jnp.abs(pred - bout) ** p_norm, axis=unit.sum_axis))
+
+    @jax.jit
+    def run(key, deltas, opt_state, inputs, outputs):
+        def step_fn(carry, step):
+            deltas, opt_state = carry
+            k = jax.random.fold_in(key, step)
+            idx = jax.random.randint(k, (batch_size,), 0, n_samples)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                deltas, tuple(x[idx] for x in inputs), outputs[idx])
+            updates, opt_state = opt.update(grads, opt_state)
+            deltas = optax.apply_updates(deltas, updates)
+            return (deltas, opt_state), loss
+
+        return jax.lax.scan(step_fn, (deltas, opt_state), jnp.arange(iters))
+
+    (deltas, _), losses = run(key, deltas, opt_state, cached_inputs, cached_outputs)
+    return {"a": {n: QParams(deltas[n], zps[n]) for n in deltas},
+            "sm": qstate_unit.get("sm", {})}, losses
 
 
 @partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))

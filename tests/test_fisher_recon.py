@@ -112,3 +112,35 @@ def test_calibrate_weights_tib_mode(tiny):
     # tib layers present even though max_units truncated the walk
     assert "time_embedding.linear_1" in alphas
     assert any(k.endswith(".time_emb_proj") for k in alphas)
+
+
+def test_act_delta_reconstruction(tiny):
+    """use_aq reconstruction branch: Adam+cosine on activation deltas."""
+    from dgq_tpu.calib.reconstruction import (
+        capture_unit_io,
+        recon_units,
+        reconstruct_unit_act_deltas,
+    )
+    from dgq_tpu.calib.weight_calib import fold_weight_quant
+    from dgq_tpu.quant.affine import QParams
+
+    spec, params, batch = tiny
+    cfg = QConfig(w_bits=8, a_bits=8, use_wq=True, use_aq=True)
+    wqp = init_weight_qparams(params, spec, 8, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, cfg)
+    unit = next(u for u in recon_units(spec) if u.name == "down_blocks.0.resnets.0")
+    (ins, out) = capture_unit_io(params, batch, unit.name, QConfig())
+    qs_unit = {
+        "a": {n: QParams(jnp.asarray(0.05), jnp.asarray(128.0)) for n in unit.layers},
+        "sm": {},
+    }
+    qs2, losses = reconstruct_unit_act_deltas(
+        jax.random.PRNGKey(0), unit, pq, qs_unit, ins, out, cfg,
+        iters=8, batch_size=2,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    # deltas moved
+    moved = any(
+        not np.allclose(np.asarray(qs2["a"][n].delta), 0.05) for n in unit.layers
+    )
+    assert moved
