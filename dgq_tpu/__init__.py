@@ -18,3 +18,19 @@ Design stance (vs the reference's PyTorch fake-quant wrappers):
 """
 
 __version__ = "0.1.0"
+
+from dgq_tpu.models.qconfig import GroupQParams, QConfig, QState  # noqa: F401,E402
+from dgq_tpu.quant.affine import QParams  # noqa: F401,E402
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules at package import)."""
+    if name in ("SDPipeline", "SDXLTurboPipeline"):
+        from dgq_tpu.pipeline import sd_pipeline
+
+        return getattr(sd_pipeline, name)
+    if name == "quantize_model_weights":
+        from dgq_tpu.calib.weight_calib import quantize_model_weights
+
+        return quantize_model_weights
+    raise AttributeError(name)

@@ -86,3 +86,19 @@ def test_group_scales_stay_on_fake_path():
     assert _int8_qp(p, {"a": {"L": g}}, cfg, "L") is None
     qp = QParams(jnp.asarray(0.1), jnp.asarray(0.0))
     assert _int8_qp(p, {"a": {"L": qp}}, cfg, "L") is not None
+
+
+def test_a6_bits_recentering():
+    """A6 codes recenter by 32 and clip to [-32, 31] (reference W4A6 config)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(16, 64).astype(np.float32))
+    xqp = init_scale(x, 6, Scaler.MINMAX)
+    from dgq_tpu.quant.affine import int_code_offset, quantize_int, dequantize_int
+    assert int_code_offset(6) == 32
+    codes = quantize_int(x, xqp, bits=6)
+    assert int(jnp.min(codes)) >= -32 and int(jnp.max(codes)) <= 31
+    from dgq_tpu.quant.affine import fake_quant
+    assert np.allclose(
+        np.asarray(dequantize_int(codes, xqp, bits=6)),
+        np.asarray(fake_quant(x, xqp, 6)), atol=1e-6,
+    )
