@@ -42,7 +42,8 @@ def bench_sdxl(args):
     from dgq_tpu.calib.act_calib import act_qpoint_names
     from dgq_tpu.calib.weight_calib import quantize_model_weights
     from dgq_tpu.models.qconfig import QConfig
-    from dgq_tpu.models.unet_sdxl import init_unet_sdxl, sdxl_unet_spec, unet_sdxl_apply
+    from dgq_tpu.models.unet_sd import init_unet_sd
+    from dgq_tpu.models.unet_sdxl import sdxl_unet_spec, unet_sdxl_apply
     from dgq_tpu.pipeline.sampler import sdxl_turbo_sample
     from dgq_tpu.quant.affine import QParams
     from dgq_tpu.quant.scalers import Scaler
@@ -57,7 +58,7 @@ def bench_sdxl(args):
     )
     t0 = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
-        params = init_unet_sdxl(jax.random.PRNGKey(0))
+        params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
         params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
         params_q = jax.tree.map(
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
@@ -142,7 +143,7 @@ def main():
     # init + quantize + fold on the host CPU: local compiles, one pass; the
     # TPU only sees the final folded weights
     with jax.default_device(jax.devices("cpu")[0]):
-        params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec)
+        params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec, fast=True)
         params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
         params_q = jax.tree.map(
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,

@@ -304,25 +304,38 @@ def quantizable_layers(spec=None):
     return [(n, k, m) for (n, k, m) in spec if k in ("conv", "linear")]
 
 
-def init_unet_sd(key: jax.Array, dtype=jnp.float32, spec=None) -> dict:
+def init_unet_sd(key: jax.Array, dtype=jnp.float32, spec=None,
+                 fast: bool = False) -> dict:
     """Random-init params with reference-matching shapes (HWIO convs, (I,O)
     linears). Used for tests and benchmarks; real weights come from the
-    checkpoint converter (dgq_tpu.io.convert)."""
+    checkpoint converter (dgq_tpu.io.convert).
+
+    fast=True draws from numpy instead of threefry — host init of the 860M
+    full-size model drops from minutes to seconds (benchmarks only)."""
     params = {}
     spec = spec if spec is not None else sd_unet_spec()
+    if fast:
+        rng = np.random.RandomState(int(jax.random.key_data(key)[-1]) % (2 ** 31))
+
+        def normal(k, shape):
+            return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    else:
+        def normal(k, shape):
+            return jax.random.normal(k, shape)
+
     keys = jax.random.split(key, len(spec))
     for (name, kind, meta), k in zip(spec, keys):
         if kind == "conv":
             cin, cout, ksz, _, _ = meta
             fan_in = cin * ksz * ksz
             params[name] = {
-                "w": (jax.random.normal(k, (ksz, ksz, cin, cout)) / np.sqrt(fan_in)).astype(dtype),
+                "w": (normal(k, (ksz, ksz, cin, cout)) / np.sqrt(fan_in)).astype(dtype),
                 "b": jnp.zeros((cout,), dtype),
             }
         elif kind == "linear":
             cin, cout, bias = meta
             params[name] = {
-                "w": (jax.random.normal(k, (cin, cout)) / np.sqrt(cin)).astype(dtype),
+                "w": (normal(k, (cin, cout)) / np.sqrt(cin)).astype(dtype),
                 "b": jnp.zeros((cout,), dtype) if bias else None,
             }
         else:  # norms
