@@ -172,3 +172,49 @@ def test_group_quant_parity_full_flow():
     assert np.asarray(qp.delta).shape == tuple(ref_delta.shape)
     assert np.allclose(np.asarray(qp.delta), ref_delta.numpy(), rtol=1e-5)
     assert np.allclose(np.asarray(qp.zero_point), ref_zp.numpy(), rtol=1e-5)
+
+
+def test_ema_momentum_update_parity():
+    """minmax_qparams_from_range == reference act_momentum_update (including
+    the corner-element seeding quirk, quant_layer.py:431-446)."""
+    from dgq_tpu.quant.affine import minmax_qparams_from_range
+
+    rng = np.random.RandomState(11)
+    init_x = rng.randn(64).astype(np.float32)
+    ref_q = UniformAffineQuantizer(bits=8, scaler=RefScaler.MINMAX, leaf_param=True)
+    with torch.no_grad():
+        _ = ref_q(torch.from_numpy(init_x))  # lazy init seeds x_min/x_max
+
+    x_min = float(ref_q.x_min)
+    x_max = float(ref_q.x_max)
+    for seed in (12, 13, 14):
+        batch = rng.randn(64).astype(np.float32) * (1 + seed % 3)
+        with torch.no_grad():
+            ref_q.act_momentum_update(torch.from_numpy(batch))
+        x_min = x_min * 0.95 + batch.min() * 0.05
+        x_max = x_max * 0.95 + batch.max() * 0.05
+        qp = minmax_qparams_from_range(
+            jnp.asarray(x_min), jnp.asarray(x_max), bits=8
+        )
+        assert np.isclose(float(qp.delta), float(ref_q.delta), rtol=1e-5), seed
+        assert np.isclose(float(qp.zero_point), float(ref_q.zero_point), rtol=1e-5)
+
+
+def test_log2_ema_update_parity():
+    """T2ILogQuantizer EMA delta update (quant_layer_text.py:109-117)."""
+    from dgq_tpu.quant.log2 import log2_ema_update
+
+    rng = np.random.RandomState(15)
+    x0 = np.abs(rng.randn(256)).astype(np.float32)
+    x0 = x0 / x0.max()
+    ref_q = T2ILogQuantizer(bits=8, always_zero=True, leaf_param=True)
+    with torch.no_grad():
+        _ = ref_q(torch.from_numpy(x0))
+    ref_q.delta = torch.nn.Parameter(ref_q.delta)
+    delta = jnp.asarray(float(ref_q.delta))
+    for seed in (16, 17):
+        batch = np.abs(rng.randn(256)).astype(np.float32) * 0.8
+        with torch.no_grad():
+            ref_q.act_momentum_update(torch.from_numpy(batch))
+        delta = log2_ema_update(delta, jnp.asarray(batch))
+        assert np.isclose(float(delta), float(ref_q.delta), rtol=1e-5)
