@@ -78,31 +78,38 @@ def conv_meta_by_name(spec) -> dict:
 
 
 # ------------------------------------------------------------ collectors ----
+# A calibration batch is the tuple of positional UNet conditioning tensors
+# after `params`: SD is (sample, t, ehs); SDXL-turbo is
+# (sample, t, ehs, text_embeds, time_ids) — the counterpart of the
+# reference's added_cond_kwargs plumbing (src/quantize_act.py:35-167).
 @partial(jax.jit, static_argnames=("names", "cfg", "unet_apply"))
-def _collect_taps(params, qstate, sample, t, ehs, names: tuple, cfg: QConfig, unet_apply):
+def _collect_taps(params, qstate, batch, names: tuple, cfg: QConfig, unet_apply):
     """Full tensors for `names` (everything else DCE'd)."""
     taps: dict = {}
     with collect_act_taps(taps):
-        unet_apply(params, sample, t, ehs, qstate=qstate, cfg=cfg)
+        unet_apply(params, *batch, qstate=qstate, cfg=cfg)
     return {n: taps[n] for n in names}
 
 
 @partial(jax.jit, static_argnames=("names", "cfg", "unet_apply"))
-def _collect_minmax(params, qstate, sample, t, ehs, names: tuple, cfg: QConfig, unet_apply):
-    """Global (min, max) per tap — scalar outputs only."""
+def _collect_minmax(params, qstate, batch, names: tuple, cfg: QConfig, unet_apply):
+    """Global (min, max) per tap, stacked [len(names), 2] so the host pulls
+    one array per batch instead of 2×len(names) scalars."""
     taps: dict = {}
     with collect_act_taps(taps):
-        unet_apply(params, sample, t, ehs, qstate=qstate, cfg=cfg)
-    return {n: (jnp.min(taps[n]), jnp.max(taps[n])) for n in names}
+        unet_apply(params, *batch, qstate=qstate, cfg=cfg)
+    return jnp.stack([
+        jnp.stack([jnp.min(taps[n]), jnp.max(taps[n])]) for n in names
+    ])
 
 
 @partial(jax.jit, static_argnames=("names", "cfg", "unet_apply"))
-def _collect_group_stats(params, qstate, stats, sample, t, ehs, names: tuple,
+def _collect_group_stats(params, qstate, stats, batch, names: tuple,
                          cfg: QConfig, unet_apply):
     """Fold one batch into running per-axis GroupStats (vector outputs)."""
     taps: dict = {}
     with collect_act_taps(taps):
-        unet_apply(params, sample, t, ehs, qstate=qstate, cfg=cfg)
+        unet_apply(params, *batch, qstate=qstate, cfg=cfg)
     return {n: update_group_stats(stats[n], taps[n]) for n in names}
 
 
@@ -110,9 +117,9 @@ def tap_execution_order(params, cali_batch, cfg, unet_apply=unet_sd_apply) -> li
     """Execution order of all aq points (dict insertion order during tracing)."""
     taps: dict = {}
 
-    def f(sample, t, ehs):
+    def f(*batch):
         with collect_act_taps(taps):
-            unet_apply(params, sample, t, ehs, qstate=None, cfg=cfg)
+            unet_apply(params, *batch, qstate=None, cfg=cfg)
         return 0
 
     jax.eval_shape(f, *cali_batch)
@@ -144,7 +151,7 @@ def init_act_qstate(
     for i in range(0, len(order), chunk):
         chunk_names = tuple(order[i : i + chunk])
         taps = _collect_taps(
-            params, qstate, *init_batch, names=chunk_names, cfg=run_cfg,
+            params, qstate, tuple(init_batch), names=chunk_names, cfg=run_cfg,
             unet_apply=unet_apply,
         )
         for n in chunk_names:
@@ -182,13 +189,15 @@ def ema_update_qstate(
     names = tuple(n for n in qstate["a"] if n in ranges)
     sm_names = set(softmax_qpoint_names(spec))
     for batch in batches:
-        mm = _collect_minmax(
-            params, qstate, *batch, names=names, cfg=run_cfg, unet_apply=unet_apply
-        )
+        # one [len(names), 2] device->host pull per batch (not per tap)
+        mm = np.asarray(_collect_minmax(
+            params, qstate, tuple(batch), names=names, cfg=run_cfg,
+            unet_apply=unet_apply,
+        ))
         new_a = dict(qstate["a"])
         new_ranges = dict(ranges)
-        for n in names:
-            bmin, bmax = float(mm[n][0]), float(mm[n][1])
+        for j, n in enumerate(names):
+            bmin, bmax = float(mm[j, 0]), float(mm[j, 1])
             x_min = ranges[n][0] * momentum + bmin * (1 - momentum)
             x_max = ranges[n][1] * momentum + bmax * (1 - momentum)
             new_ranges[n] = (x_min, x_max)
@@ -231,9 +240,9 @@ def group_calibrate_qstate(
     names = tuple(n for n in act_qpoint_names(spec))
     taps_shape: dict = {}
 
-    def f(sample, t, ehs):
+    def f(*batch):
         with collect_act_taps(taps_shape):
-            unet_apply(params, sample, t, ehs, qstate=qstate, cfg=group_cfg)
+            unet_apply(params, *batch, qstate=qstate, cfg=group_cfg)
         return 0
 
     jax.eval_shape(f, *batches[0])
@@ -242,7 +251,7 @@ def group_calibrate_qstate(
     stats = {n: init_group_stats(taps_shape[n].shape) for n in groupable}
     for batch in batches:
         stats = _collect_group_stats(
-            params, qstate, stats, *batch, names=groupable, cfg=group_cfg,
+            params, qstate, stats, tuple(batch), names=groupable, cfg=group_cfg,
             unet_apply=unet_apply,
         )
     stats = jax.device_get(stats)

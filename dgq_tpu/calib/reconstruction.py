@@ -50,6 +50,7 @@ class ReconUnit:
     layers: tuple      # quantizable sublayer names
     meta: tuple = ()   # for 'layer': (layer_kind, conv meta)
     sum_axis: int = -1  # reference lp_loss sums torch-axis 1; see recon_units
+    heads: int = NUM_HEADS  # attention heads (SDXL: channels / min(64, base))
 
 
 def recon_units(spec) -> list[ReconUnit]:
@@ -62,6 +63,20 @@ def recon_units(spec) -> list[ReconUnit]:
     qlayers = [(n, k, m) for n, k, m in spec if k in ("conv", "linear")]
     units: list[ReconUnit] = []
     seen = set()
+
+    # SDXL uses per-block head counts (inner_dim / min(64, base),
+    # reference sdxl.py:268); SD v1.4 uses 8 everywhere (sd.py:101).
+    is_sdxl = any(n == "add_embedding.linear_1" for n, _, _ in spec)
+    base = next(m[1] for n, k, m in spec if n == "conv_in")
+    to_q_dim = {
+        n[: -len(".attn1.to_q")]: m[0]
+        for n, k, m in qlayers if n.endswith(".attn1.to_q")
+    }
+
+    def heads_for(prefix: str) -> int:
+        if not is_sdxl:
+            return NUM_HEADS
+        return to_q_dim[prefix] // min(64, base)
 
     def block_prefix(name):
         for marker in (".resnets.", ".transformer_blocks."):
@@ -87,7 +102,8 @@ def recon_units(spec) -> list[ReconUnit]:
             # resnet NCHW: torch sum(1)=C -> ours -1; transformer (B,T,C):
             # torch sum(1)=T -> ours 1
             sum_axis = -1 if bkind == "resnet" else 1
-            units.append(ReconUnit(bkind, prefix, tuple(sub), (), sum_axis))
+            heads = heads_for(prefix) if bkind == "transformer" else NUM_HEADS
+            units.append(ReconUnit(bkind, prefix, tuple(sub), (), sum_axis, heads))
     return units
 
 
@@ -102,7 +118,7 @@ def make_unit_apply(unit: ReconUnit, cfg: QConfig, with_qstate: bool = False) ->
             p, unit.name, x, temb, qs, cfg, has_shortcut)
     elif unit.kind == "transformer":
         fn = lambda p, qs, x, ehs: basic_transformer_block(
-            p, unit.name, x, ehs, NUM_HEADS, qs, cfg)
+            p, unit.name, x, ehs, unit.heads, qs, cfg)
     else:
         lkind, meta = unit.meta
         if lkind == "conv":
@@ -171,9 +187,9 @@ def reconstruct_unit_act_deltas(
 
 
 @partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))
-def _capture_jit(params, sample, t, ehs, unit_name: str, cfg: QConfig, unet_apply):
+def _capture_jit(params, batch, unit_name: str, cfg: QConfig, unet_apply):
     rec: dict = {}
-    unet_apply(params, sample, t, ehs, qstate=None, cfg=cfg, record=rec)
+    unet_apply(params, *batch, qstate=None, cfg=cfg, record=rec)
     return rec[unit_name]
 
 
@@ -186,9 +202,12 @@ def capture_unit_io(
 ):
     """Run the UNet on one calibration batch and return (inputs, output) of
     `unit_name`. Everything after the unit is DCE'd by XLA (the compiled
-    analogue of the reference's StopForwardException early exit)."""
-    return _capture_jit(params, *cali_batch, unit_name=unit_name, cfg=cfg,
-                        unet_apply=unet_apply)
+    analogue of the reference's StopForwardException early exit).
+
+    cali_batch: positional UNet conditioning tensors after `params` — SD is
+    (sample, t, ehs); SDXL is (sample, t, ehs, text_embeds, time_ids)."""
+    return _capture_jit(params, tuple(cali_batch), unit_name=unit_name,
+                        cfg=cfg, unet_apply=unet_apply)
 
 
 def _sub_params(params: dict, unit: ReconUnit) -> dict:
@@ -199,25 +218,25 @@ def _sub_params(params: dict, unit: ReconUnit) -> dict:
 
 
 @partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))
-def _grad_jit(params_fp, params_q, sample, t, ehs, unit_name: str,
+def _grad_jit(params_fp, params_q, batch, unit_name: str,
               cfg: QConfig, unet_apply):
     """dKL/d(unit output): KL(softmax(fp) || softmax(quant-prefix)) over the
     channel axis, batchmean (reference GetLayerGrad, data_utill.py:191-256).
     The quant prefix runs with weights quantized up to and including the unit."""
     from dgq_tpu.models.unet_sd import inject_at
 
-    out_fp = unet_apply(params_fp, sample, t, ehs, qstate=None, cfg=cfg)
+    out_fp = unet_apply(params_fp, *batch, qstate=None, cfg=cfg)
     rec: dict = {}
-    unet_apply(params_q, sample, t, ehs, qstate=None, cfg=cfg, record=rec)
+    unet_apply(params_q, *batch, qstate=None, cfg=cfg, record=rec)
     unit_out_shape = rec[unit_name][1].shape
 
     def loss_fn(d):
         with inject_at({unit_name: d}):
-            out_q = unet_apply(params_q, sample, t, ehs, qstate=None, cfg=cfg)
+            out_q = unet_apply(params_q, *batch, qstate=None, cfg=cfg)
         p_fp = jax.nn.softmax(out_fp.astype(jnp.float32), axis=-1)
         logq = jax.nn.log_softmax(out_q.astype(jnp.float32), axis=-1)
         logp = jnp.log(p_fp + 1e-12)
-        return jnp.sum(p_fp * (logp - logq)) / sample.shape[0]
+        return jnp.sum(p_fp * (logp - logq)) / batch[0].shape[0]
 
     return jax.grad(loss_fn)(jnp.zeros(unit_out_shape, jnp.float32))
 
@@ -225,8 +244,8 @@ def _grad_jit(params_fp, params_q, sample, t, ehs, unit_name: str,
 def capture_unit_grad(params_fp, params_q_prefix, cali_batch, unit_name, cfg,
                       unet_apply=unet_sd_apply):
     """|dKL/d(unit out)| + 1, the Fisher weighting (data_utill.py:68-69)."""
-    g = _grad_jit(params_fp, params_q_prefix, *cali_batch, unit_name=unit_name,
-                  cfg=cfg, unet_apply=unet_apply)
+    g = _grad_jit(params_fp, params_q_prefix, tuple(cali_batch),
+                  unit_name=unit_name, cfg=cfg, unet_apply=unet_apply)
     return jnp.abs(g) + 1.0
 
 
@@ -425,6 +444,7 @@ def calibrate_weights(
     max_units: Optional[int] = None,
     partial_dir: Optional[str] = None,
     tib_recon: bool = False,
+    opt_mode: str = "mse",
 ) -> Dict[str, jax.Array]:
     """Full weight-reconstruction pass (reference cali_model weight phase,
     calibration.py:100-197). Returns AdaRound alphas per quantized layer.
@@ -493,10 +513,26 @@ def calibrate_weights(
             q_inputs, _ = batched_capture(pq, unit.name)
         else:
             q_inputs = fp_inputs
+        cached_grads = None
+        if opt_mode != "mse":
+            # Fisher weighting: |dKL/d(unit out)| + 1 with the prefix AND the
+            # current unit hard-quantized (reference save_grad runs the quant
+            # model, data_utill.py:54-73,191-256)
+            fold_names = set(all_alphas) | set(unit.layers)
+            pq_g = fold_weight_quant(
+                params, {k: wqp[k] for k in fold_names if k in wqp}, spec, cfg,
+                alphas=all_alphas, soft=False,
+            )
+            gs = []
+            for i in range(0, n, capture_batch):
+                batch = tuple(x[i : i + capture_batch] for x in cali_data)
+                gs.append(np.asarray(capture_unit_grad(
+                    params, pq_g, batch, unit.name, cfg, unet_apply)))
+            cached_grads = jnp.concatenate([jnp.asarray(g) for g in gs])
         alphas, _ = reconstruct_unit(
             jax.random.fold_in(key, u_idx), unit, params, wqp,
             q_inputs, fp_out, cfg, iters=iters, batch_size=batch_size,
-            w=w, warmup=warmup,
+            w=w, warmup=warmup, opt_mode=opt_mode, cached_grads=cached_grads,
         )
         all_alphas.update(alphas)
         if partial_dir:

@@ -36,7 +36,8 @@ def setup_logging(outdir: str) -> tuple[str, logging.Logger]:
 
 
 def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
-                hf_unet_path: Optional[str] = None):
+                hf_unet_path: Optional[str] = None,
+                sdxl_depths: tuple = (2, 10)):
     """Returns (spec, params, unet_apply, latent_hw, cross_dim).
 
     hf_unet_path: directory with a torch state dict ('diffusion_pytorch_model
@@ -53,7 +54,7 @@ def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
         from dgq_tpu.models.unet_sdxl import sdxl_unet_spec, unet_sdxl_apply
         from dgq_tpu.models.unet_sd import init_unet_sd as init
 
-        spec = sdxl_unet_spec(base=base or 320)
+        spec = sdxl_unet_spec(base=base or 320, depths=tuple(sdxl_depths))
         apply_fn = unet_sdxl_apply
         latent_hw, cross = 128, 2048
     else:
@@ -69,7 +70,64 @@ def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
     return spec, params, apply_fn, latent_hw, cross
 
 
+def pooled_dim_for(model_type: str, base: Optional[int] = None) -> int:
+    """SDXL pooled text-embedding width: add_embedding.linear_1's input is
+    [pooled, 6*add_ch] with pooled == temb_dim == 4*base (sdxl.py:520-523,
+    1280 for the real model)."""
+    return 4 * (base or 320)
+
+
+def build_cali_data(
+    model_type: str,
+    params: dict,
+    apply_fn,
+    cross: int,
+    n_prompts: int,
+    steps: int,
+    latent_hw: int,
+    seed: int,
+    cache_path: Optional[str] = None,
+    pooled_dim: Optional[int] = None,
+):
+    """Generate (or load cached) calibration data for either model family.
+
+    Returns (cali_data, interval) where cali_data is the positional UNet
+    batch tuple: SD (lmi, t, ehs) with CFG doubling; SDXL-turbo
+    (lmi, t, ehs, text_embeds, time_ids) at guidance 0."""
+    if model_type == "sd":
+        from dgq_tpu.calib.data import (
+            generate_sd_cali_data,
+            synthetic_prompt_embeddings,
+        )
+
+        text, uncond = synthetic_prompt_embeddings(n_prompts, dim=cross, seed=seed)
+        return generate_sd_cali_data(
+            params, text, uncond, steps=steps, scheduler="pndm",
+            latent_hw=latent_hw, seed=seed, cache_path=cache_path,
+            unet_apply=apply_fn,
+        )
+    from dgq_tpu.calib.data import (
+        generate_sdxl_cali_data,
+        synthetic_sdxl_embeddings,
+    )
+
+    text, pooled = synthetic_sdxl_embeddings(
+        n_prompts, dim=cross, pooled_dim=pooled_dim or pooled_dim_for(model_type),
+        seed=seed,
+    )
+    return generate_sdxl_cali_data(
+        params, text, pooled, steps=steps, latent_hw=latent_hw, seed=seed,
+        cache_path=cache_path, unet_apply=apply_fn,
+    )
+
+
+def parse_depths(s: str) -> tuple:
+    return tuple(int(x) for x in s.split(","))
+
+
 def add_quant_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--sdxl_depths", type=parse_depths, default=(2, 10),
+                    help="SDXL transformer depths 'lo,hi' (tiny smoke runs)")
     ap.add_argument("--wq", type=int, default=4, help="weight bits")
     ap.add_argument("--aq", type=int, default=8, help="activation bits")
     ap.add_argument("--softmax_a_bit", type=int, default=8)

@@ -78,15 +78,19 @@ def main():
         os.makedirs(im256_dir, exist_ok=True)
 
     spec, params, apply_fn, latent_hw, cross = build_model(
-        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
+        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights,
+        sdxl_depths=args.sdxl_depths,
     )
     from dgq_tpu.models.qconfig import QConfig
 
+    qstate = None
+    time_aware = False
     if args.fp:
         cfg, params_q = QConfig(), params
     else:
         cfg = qconfig_from_args(args, use_wq=True, use_aq=args.use_aq)
         if args.cali_ckpt:
+            from dgq_tpu.calib.act_calib import stack_time_qstates
             from dgq_tpu.calib.weight_calib import fold_weight_quant
             from dgq_tpu.io.dgq_ckpt import load_merged
 
@@ -97,6 +101,12 @@ def main():
                                          alphas=alphas or None, soft=False)
             if args.use_group and group_layers:
                 cfg = cfg.replace(group_conv_layers=group_layers)
+            if args.use_aq and per_t:
+                if args.time_aware_aqtizer and len(per_t) > 1:
+                    qstate = stack_time_qstates(per_t)
+                    time_aware = True
+                else:
+                    qstate = per_t["act_0"]
         else:
             from dgq_tpu.calib.weight_calib import quantize_model_weights
             from dgq_tpu.quant.scalers import Scaler
@@ -121,10 +131,20 @@ def main():
 
         vae_params = hf_vae_to_params(load_state_dict_any(args.vae_weights))
 
-    pipe = SDPipeline(
-        unet_params=params_q, text_params=text_params, vae_params=vae_params,
-        tokenizer=tokenizer, cfg=cfg, unet_apply=apply_fn,
-    )
+    if args.model == "sdxl":
+        from dgq_tpu.cli.common import pooled_dim_for
+        from dgq_tpu.pipeline.sd_pipeline import SDXLTurboPipeline
+
+        pipe = SDXLTurboPipeline(
+            unet_params=params_q, vae_params=vae_params, cfg=cfg,
+            qstate=qstate, time_aware=time_aware, unet_apply=apply_fn,
+        )
+    else:
+        pipe = SDPipeline(
+            unet_params=params_q, text_params=text_params, vae_params=vae_params,
+            tokenizer=tokenizer, cfg=cfg, qstate=qstate, time_aware=time_aware,
+            unet_apply=apply_fn,
+        )
 
     t_start = time.perf_counter()
     count = 0
@@ -132,7 +152,15 @@ def main():
         batch_prompts = prompts[i : i + args.batch]
         for rep in range(args.n_per_prompt):
             seed = args.seed + rep * 100003 + i
-            if tokenizer is not None and text_params is not None:
+            if args.model == "sdxl":
+                from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+
+                text, pooled = synthetic_sdxl_embeddings(
+                    len(batch_prompts), dim=cross,
+                    pooled_dim=pooled_dim_for(args.model, args.base), seed=seed,
+                )
+                imgs = pipe.generate_from_embeddings(text, pooled, steps=steps, seed=seed)
+            elif tokenizer is not None and text_params is not None:
                 imgs = pipe(batch_prompts, steps=steps, seed=seed)
             else:
                 text, uncond = synthetic_prompt_embeddings(

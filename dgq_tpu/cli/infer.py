@@ -54,7 +54,8 @@ def main():
     from dgq_tpu.calib.data import synthetic_prompt_embeddings
 
     spec, params, apply_fn, latent_hw, cross = build_model(
-        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
+        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights,
+        sdxl_depths=args.sdxl_depths,
     )
     cfg = qconfig_from_args(args, use_wq=True, use_aq=args.use_aq)
 
@@ -104,23 +105,40 @@ def main():
         )
 
     def run(p, c, qs, ta, tag):
-        pipe = SDPipeline(
-            unet_params=p, text_params=text_params, vae_params=vae_params,
-            tokenizer=tokenizer, cfg=c, qstate=qs, time_aware=ta,
-            unet_apply=apply_fn,
-        )
         hw = dict(
             height=args.height or (512 if args.model == "sd" else 1024),
             width=args.width or (512 if args.model == "sd" else 1024),
         )
-        if tokenizer is not None and text_params is not None:
-            imgs = pipe([args.prompt] * 2, steps=steps, seed=args.seed, **hw)
-        else:
-            text, uncond = synthetic_prompt_embeddings(2, dim=cross, seed=args.seed)
-            imgs = pipe.generate_from_embeddings(
-                text, uncond, steps=steps, seed=args.seed,
-                scheduler="pndm" if args.model == "sd" else "ddim", **hw,
+        if args.model == "sdxl":
+            from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+            from dgq_tpu.cli.common import pooled_dim_for
+            from dgq_tpu.pipeline.sd_pipeline import SDXLTurboPipeline
+
+            pipe = SDXLTurboPipeline(
+                unet_params=p, vae_params=vae_params, cfg=c, qstate=qs,
+                time_aware=ta, unet_apply=apply_fn,
             )
+            text, pooled = synthetic_sdxl_embeddings(
+                2, dim=cross, pooled_dim=pooled_dim_for(args.model, args.base),
+                seed=args.seed,
+            )
+            imgs = pipe.generate_from_embeddings(
+                text, pooled, steps=steps, seed=args.seed, **hw
+            )
+        else:
+            pipe = SDPipeline(
+                unet_params=p, text_params=text_params, vae_params=vae_params,
+                tokenizer=tokenizer, cfg=c, qstate=qs, time_aware=ta,
+                unet_apply=apply_fn,
+            )
+            if tokenizer is not None and text_params is not None:
+                imgs = pipe([args.prompt] * 2, steps=steps, seed=args.seed, **hw)
+            else:
+                text, uncond = synthetic_prompt_embeddings(2, dim=cross, seed=args.seed)
+                imgs = pipe.generate_from_embeddings(
+                    text, uncond, steps=steps, seed=args.seed,
+                    scheduler="pndm", **hw,
+                )
         for i in range(imgs.shape[0]):
             name = f"tmp_{args.model}_{args.prompt.replace(' ', '_')}_{i}_{tag}"
             out = os.path.join(args.outdir, name + ".npy")

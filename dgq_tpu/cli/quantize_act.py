@@ -42,13 +42,14 @@ def main():
     args = parse_args()
     outpath, log = setup_logging(args.outdir)
     from dgq_tpu.calib.act_calib import calibrate_activations
-    from dgq_tpu.calib.data import generate_sd_cali_data, synthetic_prompt_embeddings
     from dgq_tpu.calib.weight_calib import fold_weight_quant
+    from dgq_tpu.cli.common import build_cali_data, pooled_dim_for
     from dgq_tpu.io.dgq_ckpt import load_weight_only, save_act_ckpt
     from dgq_tpu.quant.scalers import Scaler
 
     spec, _, apply_fn, latent_hw, cross = build_model(
-        args.model, base=args.base, seed=args.seed
+        args.model, base=args.base, seed=args.seed,
+        sdxl_depths=args.sdxl_depths,
     )
     cfg = qconfig_from_args(args, use_wq=True, use_aq=True)
 
@@ -57,15 +58,11 @@ def main():
     params_q = fold_weight_quant(params, wqp, spec, cfg,
                                  alphas=alphas or None, soft=False)
 
-    text, uncond = synthetic_prompt_embeddings(
-        args.cali_prompt_data_n, dim=cross, seed=args.seed
-    )
     cache = f"{args.cali_data_path}_{args.model}_{args.step_size}steps.npz"
-    cali_data, interval = generate_sd_cali_data(
-        params, text, uncond, steps=args.step_size,
-        scheduler="pndm" if args.model == "sd" else "ddim",
-        latent_hw=args.latent_hw or latent_hw, seed=args.seed,
-        cache_path=cache, unet_apply=apply_fn,
+    cali_data, interval = build_cali_data(
+        args.model, params, apply_fn, cross, args.cali_prompt_data_n,
+        args.step_size, args.latent_hw or latent_hw, args.seed,
+        cache_path=cache, pooled_dim=pooled_dim_for(args.model, args.base),
     )
     per_t, group_layers = calibrate_activations(
         params_q, spec, cfg, cali_data, interval=interval,

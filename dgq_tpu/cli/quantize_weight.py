@@ -16,8 +16,10 @@ import os
 
 from dgq_tpu.cli.common import (
     add_quant_args,
+    build_cali_data,
     build_model,
     model_type_from_env,
+    pooled_dim_for,
     qconfig_from_args,
     setup_logging,
 )
@@ -29,7 +31,10 @@ def parse_args():
     ap.add_argument("--outdir", default="results")
     add_quant_args(ap)
     ap.add_argument("--use_aq", action="store_true",
-                    help="also run vanilla activation calibration afterwards")
+                    help="also run vanilla activation calibration afterwards "
+                         "(reference cali_model use_aq, calibration.py:199-206)")
+    ap.add_argument("--running_stat", action="store_true", default=True)
+    ap.add_argument("--no_running_stat", dest="running_stat", action="store_false")
     ap.add_argument("--cali", action="store_true", help="MSE scale init (else minmax)")
     ap.add_argument("--cali_prompt_data_n", type=int, default=64)
     ap.add_argument("--cali_data_path", default="./data/cali_data")
@@ -37,7 +42,16 @@ def parse_args():
     ap.add_argument("--no_recon", action="store_true")
     ap.add_argument("--resume_w", default=None,
                     help="resume from an existing weight-only checkpoint "
-                         "(skips reconstruction; reference --resume_w)")
+                         "(skips reconstruction, continues into the "
+                         "activation phase when --use_aq; reference "
+                         "calibration.py:152-173)")
+    ap.add_argument("--tib_recon", action="store_true",
+                    help="jointly reconstruct the temporal-information block "
+                         "(TFMQ; reference quant_model.py:25,48-49)")
+    ap.add_argument("--recon_loss", default="mse",
+                    choices=["mse", "fisher_diag", "fisher_full"],
+                    help="reconstruction loss (reference RLOSS, "
+                         "reconstruction_util.py:10-91)")
     ap.add_argument("--fast", action="store_true", help="minmax init")
     ap.add_argument("--debug", action="store_true",
                     help="= --fast, 4 prompts, 10 iters")
@@ -62,54 +76,77 @@ def parse_args():
 def main():
     args = parse_args()
     outpath, log = setup_logging(args.outdir)
-    from dgq_tpu.calib.data import generate_sd_cali_data, synthetic_prompt_embeddings
     from dgq_tpu.calib.reconstruction import calibrate_weights
     from dgq_tpu.calib.weight_calib import init_weight_qparams
     from dgq_tpu.io.dgq_ckpt import save_weight_only
     from dgq_tpu.quant.scalers import Scaler
 
     spec, params, apply_fn, latent_hw, cross = build_model(
-        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights
+        args.model, base=args.base, seed=args.seed, hf_unet_path=args.unet_weights,
+        sdxl_depths=args.sdxl_depths,
     )
     cfg = qconfig_from_args(args, use_wq=True)
+    latent_hw = args.latent_hw or latent_hw
+
+    def cali_data_fn():
+        cache = f"{args.cali_data_path}_{args.model}_{args.step_size}steps.npz"
+        return build_cali_data(
+            args.model, params, apply_fn, cross, args.cali_prompt_data_n,
+            args.step_size, latent_hw, args.seed, cache_path=cache,
+            pooled_dim=pooled_dim_for(args.model, args.base),
+        )
 
     if args.resume_w:
         from dgq_tpu.io.dgq_ckpt import load_weight_only
 
         log.info(f"resuming from {args.resume_w}")
         params, wqp, alphas = load_weight_only(args.resume_w, spec)
+        alphas = alphas or None
         path = os.path.join(outpath, "cali_ckpt.pth")
-        save_weight_only(f"{path}_weight_only", params, wqp, spec,
-                         alphas=alphas or None)
-        log.info(f"resumed checkpoint re-saved to {path}_weight_only")
-        return
+    else:
+        scaler = Scaler.MINMAX if (args.fast or not args.cali) else Scaler.MSE
+        log.info(f"weight scale init: {scaler} w{args.wq}")
+        wqp = init_weight_qparams(params, spec, args.wq, scaler)
 
-    scaler = Scaler.MINMAX if (args.fast or not args.cali) else Scaler.MSE
-    log.info(f"weight scale init: {scaler} w{args.wq}")
-    wqp = init_weight_qparams(params, spec, args.wq, scaler)
+        alphas = None
+        if not args.no_recon:
+            log.info("generating calibration data...")
+            cali_data, interval = cali_data_fn()
+            log.info(
+                f"calibration set: {cali_data[0].shape[0]} samples, interval {interval}"
+            )
+            alphas = calibrate_weights(
+                params, spec, cfg, wqp, cali_data, iters=args.iters,
+                batch_size=8, w=0.01, warmup=0.2, asym=True,
+                unet_apply=apply_fn, progress=log.info,
+                tib_recon=args.tib_recon, opt_mode=args.recon_loss,
+            )
+        path = os.path.join(outpath, "cali_ckpt.pth")
+        save_weight_only(f"{path}_weight_only", params, wqp, spec, alphas=alphas)
+        log.info(f"calibrated model saved to {path}_weight_only")
 
-    alphas = None
-    if not args.no_recon:
-        log.info("generating calibration data...")
-        text, uncond = synthetic_prompt_embeddings(
-            args.cali_prompt_data_n, dim=cross, seed=args.seed
-        )
-        cache = f"{args.cali_data_path}_{args.model}_{args.step_size}steps.npz"
-        cali_data, interval = generate_sd_cali_data(
-            params, text, uncond, steps=args.step_size,
-            scheduler="pndm" if args.model == "sd" else "ddim",
-            latent_hw=args.latent_hw or latent_hw, seed=args.seed,
-            cache_path=cache, unet_apply=apply_fn,
-        )
-        log.info(f"calibration set: {cali_data[0].shape[0]} samples, interval {interval}")
-        alphas = calibrate_weights(
-            params, spec, cfg, wqp, cali_data, iters=args.iters,
-            batch_size=8, w=0.01, warmup=0.2, asym=True,
+    if args.use_aq:
+        # vanilla (non-group) activation calibration appended to the same
+        # checkpoint — the reference's use_aq tail of cali_model. The
+        # reference nests {'weight': {'weight': ...}} there (calibration.py
+        # :199-200, a latent quirk its own loader never reads back); we write
+        # the flat merged format its loader and ours both consume.
+        from dgq_tpu.calib.act_calib import calibrate_activations
+        from dgq_tpu.calib.weight_calib import fold_weight_quant
+        from dgq_tpu.io.dgq_ckpt import save_merged
+
+        cfg_aq = qconfig_from_args(args, use_wq=True, use_aq=True)
+        params_q = fold_weight_quant(params, wqp, spec, cfg,
+                                     alphas=alphas, soft=False)
+        cali_data, interval = cali_data_fn()
+        per_t, _ = calibrate_activations(
+            params_q, spec, cfg_aq, cali_data, interval=interval,
+            group_num=0, running_stat=args.running_stat,
+            batch_size=8 if args.model == "sd" else 4,
             unet_apply=apply_fn, progress=log.info,
         )
-    path = os.path.join(outpath, "cali_ckpt.pth")
-    save_weight_only(f"{path}_weight_only", params, wqp, spec, alphas=alphas)
-    log.info(f"calibrated model saved to {path}_weight_only")
+        save_merged(path, params, wqp, spec, per_t, alphas=alphas)
+        log.info(f"calibrated model (weight+act) saved to {path}")
 
 
 if __name__ == "__main__":

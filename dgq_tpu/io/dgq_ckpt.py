@@ -267,6 +267,14 @@ def save_act_ckpt(path: str, per_t: Dict[str, QState], spec,
     save_pth(obj, path)
 
 
+def save_merged(path: str, params, wqp, spec, per_t: Dict[str, QState],
+                alphas=None) -> None:
+    """Write a merged checkpoint ({'weight': ..., 'act_t': ...}) in one shot —
+    the cali_model use_aq tail (calibration.py:199-206) + results/merge.py."""
+    save_act_ckpt(path, per_t, spec,
+                  weight_dict=params_to_weight_ckpt(params, wqp, spec, alphas))
+
+
 def merge_ckpts(weight_path: str, act_path: str, out_path: str) -> None:
     """results/merge.py equivalent: activation dict + injected 'weight'."""
     w = load_pth(weight_path)

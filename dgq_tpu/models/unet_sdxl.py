@@ -69,6 +69,15 @@ def transformer_2d_linear(p, prefix, x, ehs, n_layers, base, qstate, cfg, record
     return x + res
 
 
+def _n_tr_layers(p: dict, prefix: str) -> int:
+    """Transformer depth of a block, read off the params dict (static under
+    jit). Lets tiny test models shrink the 2/10-layer stacks."""
+    n = 0
+    while f"{prefix}.transformer_blocks.{n}.attn1.to_q" in p:
+        n += 1
+    return n
+
+
 def unet_sdxl_apply(
     params: dict,
     sample: jax.Array,
@@ -131,13 +140,15 @@ def unet_sdxl_apply(
             skips.append(x)
         return x, skips
 
-    x, (s4, s5, s6) = cross_down("down_blocks.1", x, 2, True)
-    x, (s7, s8) = cross_down("down_blocks.2", x, 10, False)
+    n_lo = _n_tr_layers(p, "down_blocks.1.attentions.0")
+    n_hi = _n_tr_layers(p, "down_blocks.2.attentions.0")
+    x, (s4, s5, s6) = cross_down("down_blocks.1", x, n_lo, True)
+    x, (s7, s8) = cross_down("down_blocks.2", x, n_hi, False)
 
     # mid
     x = _resnet(p, "mid_block.resnets.0", x, emb, qstate, cfg, False, record)
     x = transformer_2d_linear(
-        p, "mid_block.attentions.0", x, ehs, 10, base, qstate, cfg, record)
+        p, "mid_block.attentions.0", x, ehs, n_hi, base, qstate, cfg, record)
     x = _resnet(p, "mid_block.resnets.1", x, emb, qstate, cfg, False, record)
 
     def cross_up(prefix, x, skips, n_layers):
@@ -150,8 +161,8 @@ def unet_sdxl_apply(
         nm = f"{prefix}.upsamplers.0.conv"
         return _rec(record, nm, (x,), quant_conv2d(p[nm], x, nm, qstate, cfg, 1, 1))
 
-    x = cross_up("up_blocks.0", x, [s6, s7, s8], 10)
-    x = cross_up("up_blocks.1", x, [s3, s4, s5], 2)
+    x = cross_up("up_blocks.0", x, [s6, s7, s8], n_hi)
+    x = cross_up("up_blocks.1", x, [s3, s4, s5], n_lo)
     # final plain up block, no upsampler
     for i, s in enumerate([s2, s1, s0]):
         x = jnp.concatenate([x, s], axis=-1)
@@ -174,8 +185,13 @@ def _transformer2d_linear_spec(prefix, c, n_layers, cross):
     return out
 
 
-def sdxl_unet_spec(base: int = 320, cross: int = SDXL_CROSS, add_ch: int = 256):
-    """Layer spec for the SDXL-turbo UNet (reference sdxl.py:505-556)."""
+def sdxl_unet_spec(base: int = 320, cross: int = SDXL_CROSS, add_ch: int = 256,
+                   depths: tuple = (2, 10)):
+    """Layer spec for the SDXL-turbo UNet (reference sdxl.py:505-556).
+
+    depths = (low-res transformer depth, high-res depth) — (2, 10) for the
+    real model; tests shrink it (unet_sdxl_apply reads depth from params)."""
+    d_lo, d_hi = depths
     c1, c2, c3 = base, base * 2, base * 4
     temb = base * 4
     spec = [
@@ -193,8 +209,8 @@ def sdxl_unet_spec(base: int = 320, cross: int = SDXL_CROSS, add_ch: int = 256):
     spec += [("down_blocks.0.downsamplers.0.conv", "conv", (c1, c1, 3, 2, 1))]
     # down 1 & 2 (cross attn)
     for pre, cin, cout, n_layers, has_down in [
-        ("down_blocks.1", c1, c2, 2, True),
-        ("down_blocks.2", c2, c3, 10, False),
+        ("down_blocks.1", c1, c2, d_lo, True),
+        ("down_blocks.2", c2, c3, d_hi, False),
     ]:
         spec += _resnet_spec(f"{pre}.resnets.0", cin, cout, True, temb)
         spec += _resnet_spec(f"{pre}.resnets.1", cout, cout, False, temb)
@@ -205,11 +221,11 @@ def sdxl_unet_spec(base: int = 320, cross: int = SDXL_CROSS, add_ch: int = 256):
     # mid
     spec += _resnet_spec("mid_block.resnets.0", c3, c3, False, temb)
     spec += _resnet_spec("mid_block.resnets.1", c3, c3, False, temb)
-    spec += _transformer2d_linear_spec("mid_block.attentions.0", c3, 10, cross)
+    spec += _transformer2d_linear_spec("mid_block.attentions.0", c3, d_hi, cross)
     # up
     for pre, cout, prev, cin, n_layers in [
-        ("up_blocks.0", c3, c3, c2, 10),
-        ("up_blocks.1", c2, c3, c1, 2),
+        ("up_blocks.0", c3, c3, c2, d_hi),
+        ("up_blocks.1", c2, c3, c1, d_lo),
     ]:
         extras = [prev, cout, cin]
         for i in range(3):

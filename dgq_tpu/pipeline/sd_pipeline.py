@@ -97,6 +97,7 @@ class SDXLTurboPipeline:
     cfg: QConfig = QConfig()
     qstate: Optional[QState] = None
     time_aware: bool = False
+    unet_apply: object = unet_sdxl_apply
 
     def generate_from_embeddings(
         self,
@@ -117,7 +118,7 @@ class SDXLTurboPipeline:
         )
         final = sdxl_turbo_sample(
             self.unet_params, latents, ehs_text, text_embeds, time_ids,
-            unet_apply=unet_sdxl_apply, num_inference_steps=steps,
+            unet_apply=self.unet_apply, num_inference_steps=steps,
             qstate=self.qstate, cfg=self.cfg, time_aware=self.time_aware,
         )
         if self.vae_params is None:
