@@ -101,22 +101,41 @@ def bench_sdxl(args):
     }))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
-    ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
-    ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--no-time-aware", action="store_true")
-    ap.add_argument("--no-pallas-attn", action="store_true",
-                    help="use the XLA materialized-softmax path")
-    args = ap.parse_args()
-    if args.model == "sdxl":
-        if args.steps == 50:
-            args.steps = 4
-        return bench_sdxl(args)
+def _sd_group_qstate(spec, t_slots, time_aware, group_num, dtype):
+    """Synthetic g>1 DGQ group activation qparams: every k×k conv gets
+    mid-axis (C*kh*kw) group scales (the reference's unfold layout,
+    quant_layer.py:391-402), every other tap per-tensor. Throughput is
+    value-independent; shapes/paths are what the flagship config exercises."""
+    import jax.numpy as jnp
+
+    from dgq_tpu.calib.act_calib import act_qpoint_names
+    from dgq_tpu.models.qconfig import GroupQParams
+    from dgq_tpu.quant.affine import QParams
+
+    lead = (t_slots,) if time_aware else ()
+    conv_meta = {n: m for n, k, m in spec if k == "conv"}
+
+    a = {}
+    group_layers = []
+    for n in act_qpoint_names(spec):
+        m = conv_meta.get(n)
+        if m is not None and m[2] > 1:
+            ckk = m[0] * m[2] * m[2]
+            a[n] = GroupQParams(
+                delta_mid=jnp.full(lead + (ckk,), 0.05, dtype),
+                zp_mid=jnp.full(lead + (ckk,), 128.0, dtype),
+                delta_last=jnp.ones(lead + (1,), dtype),
+                zp_last=jnp.zeros(lead + (1,), dtype),
+            )
+            group_layers.append(n)
+        else:
+            a[n] = QParams(jnp.full(lead, 0.05, dtype),
+                           jnp.full(lead, 128.0, dtype))
+    return {"a": a, "sm": {}}, tuple(sorted(group_layers))
+
+
+def bench_sd(args):
+    import functools
 
     import jax
     import jax.numpy as jnp
@@ -126,6 +145,7 @@ def main():
     from dgq_tpu.models.qconfig import QConfig
     from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec
     from dgq_tpu.pipeline.sampler import sd_sample
+    from dgq_tpu.pipeline.vae import init_vae_decoder, vae_decode
     from dgq_tpu.quant.affine import QParams
     from dgq_tpu.quant.scalers import Scaler
 
@@ -134,10 +154,16 @@ def main():
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     spec = sd_unet_spec()
+    group_num = args.group
+    use_group = group_num > 1
+    # g=1 policy disables the t2i softmax tricks (reference
+    # scripts/quantize_act.sh:20-26); g>1 is the flagship DGQ config.
     cfg = QConfig(
         w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
-        t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
+        t2i_log_quant=use_group, t2i_real_time=use_group,
+        t2i_start_peak=use_group,
         use_pallas_attention=not args.no_pallas_attn,
+        use_int8_matmul=args.int8 and not use_group,
     )
     t0 = time.perf_counter()
     # init + quantize + fold on the host CPU: local compiles, one pass; the
@@ -149,8 +175,14 @@ def main():
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
             params_q, is_leaf=lambda x: x is None,
         )
+        vae_params = None
+        if not args.no_vae:
+            vae_params = init_vae_decoder(jax.random.PRNGKey(4), dtype=dtype)
     params_q = jax.device_put(params_q, dev)
     jax.block_until_ready(params_q)
+    if vae_params is not None:
+        vae_params = jax.device_put(vae_params, dev)
+        jax.block_until_ready(vae_params)
     del params
     print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
@@ -158,52 +190,109 @@ def main():
     t_slots = args.steps
     time_aware = not args.no_time_aware
 
-    def mk_qp():
-        shape = (t_slots,) if time_aware else ()
-        return QParams(
-            delta=jnp.full(shape, 0.05, dtype),
-            zero_point=jnp.full(shape, 128.0, dtype),
-        )
+    if use_group:
+        qstate, group_layers = _sd_group_qstate(
+            spec, t_slots, time_aware, group_num, dtype)
+        cfg = cfg.replace(group_conv_layers=group_layers,
+                          group_conv_impl=args.group_impl)
+    else:
+        def mk_qp():
+            shape = (t_slots,) if time_aware else ()
+            return QParams(
+                delta=jnp.full(shape, 0.05, dtype),
+                zero_point=jnp.full(shape, 128.0, dtype),
+            )
 
-    qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
+        qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
 
     b = args.batch
     latents = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4), dtype)
     ehs_t = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 768), dtype)
     ehs_u = jax.random.normal(jax.random.PRNGKey(3), (b, 77, 768), dtype)
 
-    import functools
-    run = jax.jit(functools.partial(
-        sd_sample,
-        num_inference_steps=args.steps,
-        scheduler=args.scheduler,
-        guidance_scale=7.5,
-        cfg=cfg,
-        time_aware=time_aware,
-    ))
+    def sample_and_decode(params_q, latents, ehs_t, ehs_u, qstate, vae_params):
+        lat = sd_sample(
+            params_q, latents, ehs_t, ehs_u,
+            num_inference_steps=args.steps, scheduler=args.scheduler,
+            guidance_scale=7.5, cfg=cfg, time_aware=time_aware, qstate=qstate,
+        )
+        if vae_params is not None:
+            return vae_decode(vae_params, lat)
+        return lat
+
+    run = jax.jit(sample_and_decode)
 
     # NOTE: block_until_ready does not reliably synchronize through the axon
-    # tunnel; a device_get of the (tiny) result forces real completion.
+    # tunnel; a device_get of a (tiny) slice forces real completion.
     t0 = time.perf_counter()
-    out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
-    _ = np.asarray(jax.device_get(out)).sum()
+    out = run(params_q, latents, ehs_t, ehs_u, qstate, vae_params)
+    _ = np.asarray(jax.device_get(out[:, :1, :1])).sum()
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out = run(params_q, latents, ehs_t, ehs_u, qstate=qstate)
-        _ = np.asarray(jax.device_get(out)).sum()
+        out = run(params_q, latents, ehs_t, ehs_u, qstate, vae_params)
+        _ = np.asarray(jax.device_get(out[:, :1, :1])).sum()
         times.append(time.perf_counter() - t0)
     best = min(times)
     imgs_per_sec = b / best
     print(f"times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+    return imgs_per_sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
+    ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-time-aware", action="store_true")
+    ap.add_argument("--no-pallas-attn", action="store_true",
+                    help="use the XLA materialized-softmax path")
+    ap.add_argument("--int8", action="store_true", default=True,
+                    help="int8 MXU path for per-tensor-scale layers")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--group", type=int, default=1,
+                    help="DGQ group number (g>1 runs the group-conv path)")
+    ap.add_argument("--group-impl", default="taps", choices=["taps", "unfold"])
+    ap.add_argument("--no-vae", action="store_true",
+                    help="exclude VAE decode from the timed step")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the extra g8 measurement")
+    args = ap.parse_args()
+    if args.model == "sdxl":
+        if args.steps == 50:
+            args.steps = 4
+        return bench_sdxl(args)
+
+    import copy
+
+    imgs_per_sec = bench_sd(args)
+    extra = {
+        "includes_vae_decode": not args.no_vae,
+        "int8_mxu": args.int8 and args.group <= 1,
+        "group": args.group,
+        "baseline_estimated": True,
+    }
+    if args.group <= 1 and not args.headline_only:
+        # also measure the g=8 flagship-quality config (group convs via the
+        # tap-decomposed path + t2i softmax tricks)
+        g8 = copy.deepcopy(args)
+        g8.group = 8
+        try:
+            extra["g8_img_per_sec"] = round(bench_sd(g8), 4)
+        except Exception as e:  # report the headline even if g8 fails
+            extra["g8_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": f"sd14_w4a8_images_per_sec_per_chip_{args.steps}step_512px",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / A6000_REF_IMGS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

@@ -122,29 +122,41 @@ def attach_int8_packed(
     Works on FOLDED params: folded weights sit exactly on the quantization
     grid, so round(w_folded/delta)+zp recovers the integer codes for both
     nearest and AdaRound rounding. Linear layers and 1x1 convs (which route
-    through the matmul kernel) get 'w_q8' / 'w_d' / 'w_z' entries.
+    through the matmul kernel) get 'w_q8' / 'w_d' / 'w_z' entries; k×k convs
+    get 'w_q8c' (HWIO int8 codes) / 'w_d' / 'w_z' / 'w_ksum' for the XLA
+    int8-conv path (models/layers._int8_conv).
     """
-    from dgq_tpu.ops.pallas.int8_matmul import pack_weight_int8
+    import numpy as np
 
     out = dict(params_q)
+    level = 2 ** cfg.w_bits
+    off = 2 ** (cfg.w_bits - 1)
     for name, kind, meta in spec:
         if name not in wqp or (cfg.disable_out_quant and name in EXCLUDED_LAYERS):
+            continue
+        if kind not in ("conv", "linear"):
             continue
         p = dict(params_q[name])
         qp = wqp[name]
         if kind == "linear":
-            w2 = p["w"]
-        elif kind == "conv" and meta[2] == 1:
-            kh, kw, cin, cout = p["w"].shape
-            w2 = jnp.reshape(p["w"], (cin, cout))
+            w2 = np.asarray(p["w"], np.float32)
         else:
-            continue
-        codes, d, z = pack_weight_int8(
-            w2,
-            jnp.reshape(qp.delta, (1, -1)),
-            jnp.reshape(qp.zero_point, (1, -1)),
-            cfg.w_bits,
-        )
-        p["w_q8"], p["w_d"], p["w_z"] = codes, d, z
+            kh, kw, cin, cout = p["w"].shape
+            w2 = np.asarray(p["w"], np.float32).reshape(kh * kw * cin, cout)
+        # host-side numpy packing (runs once per layer at load; jnp here would
+        # pay a tiny-kernel compile per layer shape)
+        d = np.asarray(qp.delta, np.float32).reshape(-1)
+        z = np.asarray(qp.zero_point, np.float32).reshape(-1)
+        codes = (np.clip(np.round(w2 / d[None, :]) + z[None, :], 0, level - 1)
+                 - off).astype(np.int8)
+        zr = (z - off).astype(np.float32)
+        if kind == "linear" or (meta[2] == 1 and p["w"].shape[:2] == (1, 1)):
+            p["w_q8"], p["w_d"], p["w_z"] = (
+                jnp.asarray(codes), jnp.asarray(d), jnp.asarray(zr))
+        else:
+            p["w_q8c"] = jnp.asarray(codes.reshape(p["w"].shape))
+            p["w_d"], p["w_z"] = jnp.asarray(d), jnp.asarray(zr)
+            p["w_ksum"] = jnp.asarray(
+                codes.astype(np.int32).sum(axis=0).astype(np.float32))
         out[name] = p
     return out

@@ -102,6 +102,80 @@ def conv2d_unfolded(
     return jnp.reshape(y, (b, ho, wo, o))
 
 
+def group_quant_conv2d_taps(
+    p,
+    x: jax.Array,
+    gqp,
+    cfg: QConfig,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Group-quantized conv without materializing the im2col tensor.
+
+    The reference applies group scales to the unfolded input (B, C*kh*kw, L)
+    (quant_layer.py:630-657): tap (c, i, j) at output location l is quantized
+    with delta_mid[c*kh*kw + i*kw + j] * delta_last[l]. The same input pixel is
+    quantized differently per tap, which is why the reference materializes the
+    unfold — a 9x HBM activation blow-up for 3x3 convs.
+
+    Here the conv is decomposed by tap: for each (i, j), the strided slice of
+    the padded input is fake-quantized with that tap's scales (an elementwise
+    VPU op XLA fuses into the matmul's producer) and contracted against
+    w[i, j] as a 1x1 matmul on the MXU. Summation over taps reproduces the
+    unfold result exactly (same per-element quantization; f32 accumulation).
+    """
+    from dgq_tpu.models.qconfig import GroupQParams
+    from dgq_tpu.quant.affine import QParams as _QP, fake_quant as _fq
+
+    kh, kw, c, o = p["w"].shape
+    b, h, w, _ = x.shape
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+    if isinstance(gqp, GroupQParams):
+        dm, zm = gqp.delta_mid, gqp.zp_mid
+        dl, zl = gqp.delta_last, gqp.zp_last
+    else:  # plain QParams (scalar or broadcastable): uniform over taps
+        dm, zm = gqp.delta.reshape(-1), gqp.zero_point.reshape(-1)
+        dl, zl = jnp.ones((1,)), jnp.zeros((1,))
+
+    # delta_mid indexes the c-major unfolded axis: k = c*kh*kw + i*kw + j
+    if dm.size == c * kh * kw:
+        dm2 = jnp.reshape(dm, (c, kh * kw))
+        zm2 = jnp.reshape(zm, (c, kh * kw))
+    else:  # size 1 (or per-tensor): broadcast across taps and channels
+        dm2 = jnp.broadcast_to(dm.reshape(-1)[:1], (1, 1))
+        zm2 = jnp.broadcast_to(zm.reshape(-1)[:1], (1, 1))
+    if dl.size == ho * wo:
+        dl4 = jnp.reshape(dl, (1, ho, wo, 1))
+        zl4 = jnp.reshape(zl, (1, ho, wo, 1))
+    else:
+        dl4 = dl.reshape(-1)[:1].reshape(1, 1, 1, 1)
+        zl4 = zl.reshape(-1)[:1].reshape(1, 1, 1, 1)
+
+    acc = jnp.zeros((b, ho, wo, o), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            xs = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (b, i + (ho - 1) * stride + 1, j + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            ij = i * kw + j
+            d_ij = dm2[:, ij % dm2.shape[1]].reshape(1, 1, 1, -1) * dl4
+            z_ij = zm2[:, ij % zm2.shape[1]].reshape(1, 1, 1, -1) + zl4
+            xq = _fq(xs, _QP(d_ij, z_ij), cfg.a_bits)
+            acc = acc + jnp.einsum(
+                "bhwc,co->bhwo", xq, p["w"][i, j].astype(xq.dtype),
+                preferred_element_type=jnp.float32,
+            )
+    if p.get("b") is not None:
+        acc = acc + p["b"]
+    return acc.astype(x.dtype)
+
+
 def quant_conv2d(
     p,
     x: jax.Array,
@@ -113,33 +187,53 @@ def quant_conv2d(
 ) -> jax.Array:
     """QuantLayer-conv forward (reference quant_layer.py:626-661).
 
-    Group-mode layers (in cfg.group_conv_layers) quantize the unfolded input;
+    Group-mode layers (in cfg.group_conv_layers) quantize the unfolded input
+    (materialized 'unfold' impl, or the equivalent tap-decomposed form);
     otherwise the activation quantizer applies elementwise pre-conv and the
-    conv runs natively on the MXU.
+    conv runs natively on the MXU (int8 when packed codes are present).
     """
     kh, kw = p["w"].shape[0], p["w"].shape[1]
     if name in cfg.group_conv_layers and cfg.use_aq:
+        gqp = (qstate or {}).get("a", {}).get(name) if qstate is not None else None
+        if cfg.group_conv_impl == "taps" and gqp is not None:
+            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
+            return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
         b, h, w, _ = x.shape
         ho = (h + 2 * padding - kh) // stride + 1
         wo = (w + 2 * padding - kw) // stride + 1
         x_unf = unfold_nhwc(x, kh, kw, stride, padding)
         x_unf = aq_apply(qstate, cfg, name, x_unf)
         return conv2d_unfolded(p, x_unf, (ho, wo))
-    if kh == 1 and kw == 1 and stride == 1:
-        qp = _int8_qp(p, qstate, cfg, name)
-        if qp is not None:
+    qp = _int8_qp(p, qstate, cfg, name)
+    if qp is not None:
+        if kh == 1 and kw == 1 and stride == 1 and padding == 0:
             b, h, w, c = x.shape
             y = _int8_matmul(p, jnp.reshape(x, (b * h * w, c)), qp, cfg)
             return jnp.reshape(y, (b, h, w, y.shape[-1]))
+        if "w_q8c" in p:
+            return _int8_conv(p, x, qp, cfg, stride, padding)
     x = aq_apply(qstate, cfg, name, x)
     return conv2d(p, x, stride, padding)
+
+
+def _tap_unfolded(qstate, cfg, name, x, conv_geom):
+    """Publish the unfolded calibration tap only when a collector is active.
+
+    The taps path never materializes the im2col tensor, but calibration
+    collectors expect taps in the reference's unfolded layout. Trace-time
+    check: free when no collector is installed."""
+    from dgq_tpu.models.qconfig import taps_active, _tap
+
+    if taps_active():
+        kh, kw, stride, padding = conv_geom
+        _tap(name, unfold_nhwc(x, kh, kw, stride, padding))
 
 
 def _int8_qp(p, qstate, cfg, name):
     """Per-tensor activation QParams for the int8 kernel path, if eligible."""
     if not (cfg.use_int8_matmul and cfg.use_aq and qstate is not None):
         return None
-    if "w_q8" not in p:
+    if "w_q8" not in p and "w_q8c" not in p:
         return None
     qp = (qstate.get("a") or {}).get(name)
     if qp is None or not hasattr(qp, "delta"):
@@ -158,6 +252,56 @@ def _int8_matmul(p, x2, qp, cfg):
         qp.delta.astype(jnp.float32), qp.zero_point.astype(jnp.float32) - off,
         p.get("b"), a_bits=cfg.a_bits, out_dtype=x2.dtype,
     )
+
+
+def _int8_conv(p, x, qp, cfg, stride: int, padding: int):
+    """k×k conv in real int8 on the MXU (XLA s8xs8->s32 conv lowering).
+
+    Quantize-then-pad: the input is quantized to recentered int8 codes and the
+    border is padded with the (recentered) activation zero-point code, so
+    padded taps dequantize to exactly 0.0 — matching the reference's
+    zero-pad-then-fake-quant conv semantics (quant_layer.py:626-661 with
+    F.conv2d zero padding). The affine cross terms are removed analytically:
+
+        y = dx*dw[o] * ( conv(xq, wq)            # int32 MXU accumulate
+                         - zx * wksum[o]         # wksum = sum_khkwC wq
+                         - zw[o] * window_sum(xq)
+                         + kh*kw*C * zx * zw[o] )
+
+    window_sum runs as a cheap reduce_window on the channel-summed codes.
+    """
+    kh, kw, c, o = p["w"].shape
+    off = 2 ** (cfg.a_bits - 1)
+    dx = qp.delta.astype(jnp.float32)
+    zp_r = jnp.round(qp.zero_point.astype(jnp.float32))
+    codes = (
+        jnp.clip(jnp.round(x.astype(jnp.float32) / dx) + zp_r,
+                 0, 2 ** cfg.a_bits - 1) - off
+    ).astype(jnp.int8)
+    zx = zp_r - off  # recentered zero-point code (float scalar)
+    if padding:
+        codes = jnp.pad(
+            codes,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=zx.astype(jnp.int8),
+        )
+    acc = jax.lax.conv_general_dilated(
+        codes, p["w_q8c"], (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    csum = jnp.sum(codes.astype(jnp.int32), axis=-1, keepdims=True)
+    xsum = jax.lax.reduce_window(
+        csum, jnp.int32(0), jax.lax.add,
+        (1, kh, kw, 1), (1, stride, stride, 1), "VALID",
+    ).astype(jnp.float32)
+    dw = p["w_d"]       # (O,) per-out-channel weight scale
+    zw = p["w_z"]       # (O,) recentered weight zero point
+    wksum = p["w_ksum"] # (O,) sum of weight codes over (kh, kw, C)
+    y = dx * dw * (acc - zx * wksum - zw * xsum + float(kh * kw * c) * zx * zw)
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
 
 
 def quant_linear(

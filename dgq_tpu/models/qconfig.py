@@ -53,6 +53,11 @@ def _tap(name: str, x: jax.Array) -> None:
         store[name] = x
 
 
+def taps_active() -> bool:
+    """True when a tap collector is installed (trace-time check)."""
+    return _TAPS.get() is not None
+
+
 @dataclasses.dataclass(frozen=True)
 class QConfig:
     """Static quantization policy (hashable; safe as a jit static arg)."""
@@ -74,6 +79,16 @@ class QConfig:
     # derived from loaded checkpoint delta shapes; static so each conv's path
     # is fixed at trace time.
     group_conv_layers: tuple = ()
+    # how group-mode convs execute:
+    #   'taps'   — tap-decomposed: per-(kh,kw) fake-quant of the shifted input
+    #              + kh*kw accumulated 1x1 matmuls; same math as the reference
+    #              unfold path but never materializes the (B, C*kh*kw, L)
+    #              im2col tensor in HBM (9x activation traffic for 3x3 convs).
+    #   'unfold' — materialized im2col, exactly mirroring the reference's
+    #              input_unfolded_pseudo_conv2d (quant_layer.py:630-657);
+    #              required during group *calibration* (stats are collected on
+    #              the unfolded layout) and used as the parity oracle in tests.
+    group_conv_impl: str = "taps"
     # deploy path: run attention as the fused Pallas kernel (flash-style,
     # in-kernel softmax quantization) instead of materialized XLA softmax.
     use_pallas_attention: bool = False

@@ -40,14 +40,18 @@ class DDIMConsts(NamedTuple):
 
 
 def make_ddim(num_inference_steps: int, num_train_timesteps: int = 1000,
-              steps_offset: int = 1) -> DDIMConsts:
+              steps_offset: int = 1, set_alpha_to_one: bool = False) -> DDIMConsts:
     step = num_train_timesteps // num_inference_steps
     timesteps = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int64)
     timesteps = timesteps + steps_offset
     ac = sd_alphas_cumprod(num_train_timesteps)
     alpha_t = ac[timesteps]
     prev_t = timesteps - step
-    alpha_prev = np.where(prev_t >= 0, ac[np.clip(prev_t, 0, None)], 1.0)
+    # SD v1.4's scheduler config sets set_alpha_to_one=False: the final step
+    # integrates to alphas_cumprod[0], not 1.0 (diffusers scheduling_ddim.py
+    # final_alpha_cumprod)
+    final_alpha = 1.0 if set_alpha_to_one else ac[0]
+    alpha_prev = np.where(prev_t >= 0, ac[np.clip(prev_t, 0, None)], final_alpha)
     return DDIMConsts(
         timesteps=jnp.asarray(timesteps, jnp.int32),
         alpha_t=jnp.asarray(alpha_t, jnp.float32),
@@ -84,7 +88,7 @@ class PNDMState(NamedTuple):
 
 
 def make_pndm(num_inference_steps: int, num_train_timesteps: int = 1000,
-              steps_offset: int = 1) -> PNDMConsts:
+              steps_offset: int = 1, set_alpha_to_one: bool = False) -> PNDMConsts:
     step = num_train_timesteps // num_inference_steps
     ts = (np.arange(0, num_inference_steps) * step).round().astype(np.int64)
     ts = ts + steps_offset
@@ -103,7 +107,9 @@ def make_pndm(num_inference_steps: int, num_train_timesteps: int = 1000,
         eff_prev = np.concatenate([ts[1:2], ts[1:2], ts[1:] - step])
     ac = sd_alphas_cumprod(num_train_timesteps)
     alpha_t = ac[eff_t]
-    alpha_prev = np.where(eff_prev >= 0, ac[np.clip(eff_prev, 0, None)], 1.0)
+    # PNDMScheduler default set_alpha_to_one=False (scheduling_pndm.py:118)
+    final_alpha = 1.0 if set_alpha_to_one else ac[0]
+    alpha_prev = np.where(eff_prev >= 0, ac[np.clip(eff_prev, 0, None)], final_alpha)
     return PNDMConsts(
         timesteps=jnp.asarray(call_ts, jnp.int32),
         alpha_t=jnp.asarray(alpha_t, jnp.float32),
@@ -116,7 +122,9 @@ def _pndm_prev_sample(sample, eps, alpha_t, alpha_prev):
     beta_t = 1.0 - alpha_t
     beta_prev = 1.0 - alpha_prev
     sample_coeff = jnp.sqrt(alpha_prev / alpha_t)
-    eps_coeff = alpha_t * beta_prev * jnp.sqrt(alpha_prev) + jnp.sqrt(
+    # model_output_denom_coeff (scheduling_pndm.py:439-442):
+    #   alpha_t * sqrt(beta_prev) + sqrt(alpha_t * beta_t * alpha_prev)
+    eps_coeff = alpha_t * jnp.sqrt(beta_prev) + jnp.sqrt(
         alpha_t * beta_t * alpha_prev
     )
     return sample_coeff * sample - (alpha_prev - alpha_t) * eps / eps_coeff

@@ -102,3 +102,104 @@ def test_a6_bits_recentering():
         np.asarray(dequantize_int(codes, xqp, bits=6)),
         np.asarray(fake_quant(x, xqp, 6)), atol=1e-6,
     )
+
+
+def test_int8_conv_matches_fake_quant():
+    """k×k int8 conv (XLA s8 conv + analytic zero-point correction) == the
+    fake-quant f32 conv path, including zero-padding semantics."""
+    rng = np.random.RandomState(3)
+    from dgq_tpu.models.layers import quant_conv2d
+
+    for stride, padding in [(1, 1), (2, 1)]:
+        name = "C"
+        spec = [(name, "conv", (16, 24, 3, stride, padding))]
+        params = {name: {
+            "w": jnp.asarray(rng.randn(3, 3, 16, 24).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.randn(24).astype(np.float32)),
+        }}
+        cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
+                      use_int8_matmul=True, disable_out_quant=False)
+        wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+        pq = fold_weight_quant(params, wqp, spec, cfg)
+        pq = attach_int8_packed(pq, wqp, spec, cfg)
+        assert "w_q8c" in pq[name] and "w_ksum" in pq[name]
+
+        x = jnp.asarray(rng.randn(2, 9, 9, 16).astype(np.float32))
+        xqp = init_scale(x, 8, Scaler.MINMAX)
+        qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point)}, "sm": {}}
+
+        out_i8 = quant_conv2d(pq[name], x, name, qstate, cfg, stride, padding)
+        out_fq = quant_conv2d(pq[name], x, name, qstate,
+                              cfg.replace(use_int8_matmul=False), stride, padding)
+        assert out_i8.shape == out_fq.shape
+        assert np.allclose(np.asarray(out_i8), np.asarray(out_fq), atol=2e-3), \
+            (stride, padding, np.abs(np.asarray(out_i8) - np.asarray(out_fq)).max())
+
+
+def test_int8_conv_a6():
+    """A6 activation codes through the int8 conv path."""
+    rng = np.random.RandomState(4)
+    from dgq_tpu.models.layers import quant_conv2d
+
+    name = "C"
+    spec = [(name, "conv", (8, 8, 3, 1, 1))]
+    params = {name: {
+        "w": jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1),
+        "b": None,
+    }}
+    cfg = QConfig(w_bits=4, a_bits=6, use_wq=True, use_aq=True,
+                  use_int8_matmul=True, disable_out_quant=False)
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = attach_int8_packed(fold_weight_quant(params, wqp, spec, cfg), wqp, spec, cfg)
+    x = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
+    xqp = init_scale(x, 6, Scaler.MINMAX)
+    qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point)}, "sm": {}}
+    out_i8 = quant_conv2d(pq[name], x, name, qstate, cfg, 1, 1)
+    out_fq = quant_conv2d(pq[name], x, name, qstate,
+                          cfg.replace(use_int8_matmul=False), 1, 1)
+    assert np.allclose(np.asarray(out_i8), np.asarray(out_fq), atol=2e-3)
+
+
+def test_group_taps_matches_unfold():
+    """Tap-decomposed group conv == materialized-unfold group conv, for
+    mid-axis, last-axis, and combined group scales, stride 1 and 2."""
+    rng = np.random.RandomState(5)
+    from dgq_tpu.models.layers import quant_conv2d
+    from dgq_tpu.models.qconfig import GroupQParams
+
+    name = "C"
+    kh = kw = 3
+    cin, cout = 12, 20
+    params = {name: {
+        "w": jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.randn(cout).astype(np.float32)),
+    }}
+    x = jnp.asarray(rng.randn(2, 8, 8, cin).astype(np.float32))
+
+    for stride, padding in [(1, 1), (2, 1)]:
+        ho = (8 + 2 * padding - kh) // stride + 1
+        L = ho * ho
+        ckk = cin * kh * kw
+        cases = {
+            "mid": GroupQParams(
+                jnp.asarray(rng.uniform(0.02, 0.1, ckk).astype(np.float32)),
+                jnp.asarray(rng.randint(100, 156, ckk).astype(np.float32)),
+                jnp.ones((1,)), jnp.zeros((1,))),
+            "last": GroupQParams(
+                jnp.ones((1,)), jnp.zeros((1,)),
+                jnp.asarray(rng.uniform(0.02, 0.1, L).astype(np.float32)),
+                jnp.asarray(rng.randint(100, 156, L).astype(np.float32))),
+        }
+        for label, g in cases.items():
+            qstate = {"a": {name: g}, "sm": {}}
+            cfg = QConfig(a_bits=8, use_aq=True, group_conv_layers=(name,))
+            out_taps = quant_conv2d(params[name], x, name, qstate,
+                                    cfg.replace(group_conv_impl="taps"),
+                                    stride, padding)
+            out_unf = quant_conv2d(params[name], x, name, qstate,
+                                   cfg.replace(group_conv_impl="unfold"),
+                                   stride, padding)
+            assert out_taps.shape == out_unf.shape
+            assert np.allclose(np.asarray(out_taps), np.asarray(out_unf),
+                               atol=1e-4), \
+                (label, stride, np.abs(np.asarray(out_taps) - np.asarray(out_unf)).max())

@@ -38,14 +38,16 @@ def test_ddim_timesteps_50():
     ts = np.asarray(c.timesteps)
     assert ts.shape == (50,)
     assert ts[0] == 981 and ts[-1] == 1  # 20*k + 1, descending
-    assert float(c.alpha_prev[-1]) == 1.0
+    # SD v1.4 config: set_alpha_to_one=False -> final step integrates to ac[0]
+    assert np.isclose(float(c.alpha_prev[-1]), float(sd_alphas_cumprod()[0]))
+    assert float(make_ddim(50, set_alpha_to_one=True).alpha_prev[-1]) == 1.0
 
 
 def test_ddim_oracle_recovers_x0():
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
     for steps in (1, 10, 50):
-        c = make_ddim(steps)
+        c = make_ddim(steps, set_alpha_to_one=True)
         x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
         for i in range(steps):
             eps = _oracle_eps(x, c.alpha_t[i], x0)
@@ -61,13 +63,13 @@ def test_pndm_call_sequence():
     # first two calls integrate the same interval
     assert float(c.alpha_t[0]) == float(c.alpha_t[1])
     assert float(c.alpha_prev[0]) == float(c.alpha_prev[1])
-    assert float(c.alpha_prev[-1]) == 1.0
+    assert np.isclose(float(c.alpha_prev[-1]), float(sd_alphas_cumprod()[0]))
 
 
 def test_pndm_oracle_converges_to_x0():
     rng = np.random.RandomState(1)
     x0 = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
-    c = make_pndm(25)
+    c = make_pndm(25, set_alpha_to_one=True)
     x = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
     state = pndm_init_state(x)
     n_calls = c.timesteps.shape[0]
@@ -86,7 +88,7 @@ def test_pndm_step_under_scan():
     x0 = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
     # 25 steps: Adams-Bashforth truncation error shrinks with step size; at
     # 10 steps the oracle-consistency error is genuinely large (~0.6).
-    c = make_pndm(25)
+    c = make_pndm(25, set_alpha_to_one=True)
     x_init = jnp.asarray(rng.randn(1, 4, 8, 8).astype(np.float32))
 
     def body(carry, consts):
