@@ -5,7 +5,6 @@ calibration_group_quantization.py:102-128, results/merge.py:13-18):
 
   weight-only `cali_ckpt.pth_weight_only`:
       {'weight': {'model.<path>.w', 'model.<path>.b',
-                  'model.<path>.original_w/original_b',
                   'model.<path>.wqtizer.delta/zero_point[/alpha]',
                   'model.<norm path>.weight/bias', ...}}
   activation `cali_ckpt_activation_w{W}a{A}g{G}.pth`:
@@ -116,8 +115,10 @@ def params_to_weight_ckpt(
 ) -> Dict[str, np.ndarray]:
     """Build the reference weight dict from our structures (for torch.save).
 
-    original_w/original_b duplicate w/b (the reference clones them at wrap
-    time, quant_layer.py:604-610)."""
+    original_w/original_b are deliberately NOT written: the reference keeps
+    them as plain tensors (quant_layer.py:604-610, no register_buffer), so
+    they never appear in a real reference state_dict and load_state_dict
+    reports them as unexpected keys."""
     out: Dict[str, np.ndarray] = {}
     pre = "model."
     for name, kind, meta in spec:
@@ -128,10 +129,8 @@ def params_to_weight_ckpt(
             else:
                 w = np.asarray(p["w"]).T
             out[f"{pre}{name}.w"] = w
-            out[f"{pre}{name}.original_w"] = w.copy()
             if p.get("b") is not None:
                 out[f"{pre}{name}.b"] = np.asarray(p["b"])
-                out[f"{pre}{name}.original_b"] = np.asarray(p["b"]).copy()
             if name in wqp:
                 qp = wqp[name]
                 d = np.asarray(qp.delta).reshape(-1)

@@ -78,7 +78,9 @@ def test_weight_ckpt_key_format(tmp_path, tiny):
     assert tuple(lw.shape) == (BASE * 4, BASE)
     ld = state["model.time_embedding.linear_1.wqtizer.delta"]
     assert tuple(ld.shape) == (BASE * 4, 1)
-    assert "model.down_blocks.0.resnets.0.conv1.original_w" in state
+    # original_w is a plain tensor in the reference (quant_layer.py:604-610),
+    # never serialized — writing it would be an unexpected key on their side
+    assert "model.down_blocks.0.resnets.0.conv1.original_w" not in state
     # norms keep torch names
     assert "model.conv_norm_out.weight" in state
 
