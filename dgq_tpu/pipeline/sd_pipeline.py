@@ -18,7 +18,7 @@ from dgq_tpu.models.qconfig import QConfig, QState
 from dgq_tpu.models.unet_sd import unet_sd_apply
 from dgq_tpu.models.unet_sdxl import unet_sdxl_apply
 from dgq_tpu.pipeline.sampler import sd_sample, sdxl_turbo_sample
-from dgq_tpu.pipeline.text_encoder import clip_text_encode
+from dgq_tpu.pipeline.text_encoder import clip_text_encode, sdxl_encode_prompt
 from dgq_tpu.pipeline.vae import latents_to_images, vae_decode
 
 
@@ -90,14 +90,55 @@ class SDPipeline:
 
 @dataclasses.dataclass
 class SDXLTurboPipeline:
-    """SDXL-turbo: 1-4 Euler steps, guidance 0, 1024px."""
+    """SDXL-turbo: 1-4 Euler steps, guidance 0, 1024px.
+
+    Prompt encoding uses the dual-encoder scheme of the vendored SDXL
+    pipeline's encode_prompt (CLIP-L + OpenCLIP-bigG penultimate hidden
+    states concatenated, bigG projected pooled embedding); text_params_l/_g
+    and the two tokenizers load from local HF snapshots. Layer/head counts
+    are fields so tiny test configs work."""
 
     unet_params: dict
     vae_params: Optional[dict] = None
+    text_params_l: Optional[dict] = None
+    text_params_g: Optional[dict] = None
+    tokenizer: Optional[object] = None    # CLIPTokenizer (encoder 1)
+    tokenizer_2: Optional[object] = None  # CLIPTokenizer (encoder 2, '!' pad)
+    layers_l: int = 12
+    heads_l: int = 12
+    layers_g: int = 32
+    heads_g: int = 20
     cfg: QConfig = QConfig()
     qstate: Optional[QState] = None
     time_aware: bool = False
     unet_apply: object = unet_sdxl_apply
+
+    def encode_prompts(self, prompts: list[str]) -> tuple:
+        """-> (encoder_hidden_states (B,77,2048), pooled text_embeds (B,1280))."""
+        if None in (self.tokenizer, self.tokenizer_2,
+                    self.text_params_l, self.text_params_g):
+            raise RuntimeError(
+                "tokenizers/text encoder weights unavailable; pass embeddings "
+                "directly to generate_from_embeddings()"
+            )
+        ids_l = self.tokenizer(
+            prompts, padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        ).input_ids
+        ids_g = self.tokenizer_2(
+            prompts, padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        ).input_ids
+        return sdxl_encode_prompt(
+            self.text_params_l, self.text_params_g,
+            jnp.asarray(ids_l), jnp.asarray(ids_g),
+            layers_l=self.layers_l, heads_l=self.heads_l,
+            layers_g=self.layers_g, heads_g=self.heads_g,
+        )
+
+    def __call__(self, prompts: list[str], steps: int = 4, **kw) -> np.ndarray:
+        ehs, pooled = self.encode_prompts(prompts)
+        return self.generate_from_embeddings(ehs, pooled, steps=steps, **kw)
 
     def generate_from_embeddings(
         self,

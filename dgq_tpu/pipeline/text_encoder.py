@@ -46,29 +46,84 @@ def clip_text_encode(
     num_layers: int = 12,
     num_heads: int = 12,
     final_norm: bool = True,
+    act: str = "quick_gelu",
+    skip_last: int = 0,
 ) -> jax.Array:
-    """Returns last hidden states (B, 77, width) — what SD feeds the UNet."""
+    """Returns hidden states (B, 77, width) — what SD feeds the UNet.
+
+    skip_last=1 stops after num_layers-1 encoder layers and skips the final
+    layer norm — HF ``output_hidden_states[-2]``, which SDXL's encode_prompt
+    feeds the UNet (vendored pipeline_stable_diffusion_xl.py:420-422).
+    act: 'quick_gelu' (openai CLIP-L) or 'gelu' (OpenCLIP bigG)."""
+    # 'gelu' is the exact erf form (HF nn.GELU default), not jax's tanh approx
+    act_fn = quick_gelu if act == "quick_gelu" else (
+        lambda x: jax.nn.gelu(x, approximate=False))
     tok = params["token_embedding"][input_ids]
     t = input_ids.shape[-1]
     x = tok + params["position_embedding"][:t]
     mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
-    for i in range(num_layers):
+    for i in range(num_layers - skip_last):
         pre = f"encoder.layers.{i}"
         h = layer_norm(params[f"{pre}.layer_norm1"], x)
         x = x + clip_attention(params, f"{pre}.self_attn", h, num_heads, mask)
         h = layer_norm(params[f"{pre}.layer_norm2"], x)
         h = linear(params[f"{pre}.mlp.fc1"], h)
-        h = quick_gelu(h)
+        h = act_fn(h)
         x = x + linear(params[f"{pre}.mlp.fc2"], h)
-    if final_norm:
+    if final_norm and not skip_last:
         x = layer_norm(params["final_layer_norm"], x)
     return x
+
+
+def clip_text_pooled(
+    params: dict,
+    input_ids: jax.Array,
+    num_layers: int,
+    num_heads: int,
+    act: str = "gelu",
+) -> jax.Array:
+    """Projected pooled output (B, proj_dim): final-normed hidden state at the
+    EOS token (argmax of ids — EOS 49407 is the vocab max for both SDXL
+    tokenizers), through text_projection. HF CLIPTextModelWithProjection's
+    ``text_embeds``, SDXL's pooled_prompt_embeds."""
+    x = clip_text_encode(params, input_ids, num_layers, num_heads,
+                         final_norm=True, act=act)
+    eos = jnp.argmax(input_ids, axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), eos]
+    return pooled @ params["text_projection"]
+
+
+def sdxl_encode_prompt(
+    params_l: dict,
+    params_g: dict,
+    ids_l: jax.Array,
+    ids_g: jax.Array,
+    layers_l: int = 12,
+    heads_l: int = 12,
+    layers_g: int = 32,
+    heads_g: int = 20,
+) -> tuple:
+    """SDXL dual-encoder prompt encoding.
+
+    Returns (encoder_hidden_states (B, 77, 768+1280), pooled (B, 1280)):
+    penultimate hidden states of CLIP-L and OpenCLIP-bigG concatenated on the
+    feature axis, plus bigG's projected pooled embedding — the
+    (prompt_embeds, pooled_prompt_embeds) pair of the vendored
+    pipeline_stable_diffusion_xl.py:403-430."""
+    h_l = clip_text_encode(params_l, ids_l, layers_l, heads_l,
+                           act="quick_gelu", skip_last=1)
+    h_g = clip_text_encode(params_g, ids_g, layers_g, heads_g,
+                           act="gelu", skip_last=1)
+    pooled = clip_text_pooled(params_g, ids_g, layers_g, heads_g, act="gelu")
+    return jnp.concatenate([h_l, h_g], axis=-1), pooled
 
 
 def hf_clip_text_to_params(state: dict) -> dict:
     """Convert an HF CLIPTextModel state dict (numpy values) to our params.
 
-    Accepts keys with or without the 'text_model.' prefix."""
+    Accepts keys with or without the 'text_model.' prefix. A top-level
+    'text_projection.weight' (CLIPTextModelWithProjection — SDXL's second
+    encoder) converts to params['text_projection'] stored (width, proj)."""
     s = {}
     for k, v in state.items():
         s[k[len("text_model."):] if k.startswith("text_model.") else k] = np.asarray(v)
@@ -81,6 +136,8 @@ def hf_clip_text_to_params(state: dict) -> dict:
             "bias": jnp.asarray(s["final_layer_norm.bias"]),
         },
     }
+    if "text_projection.weight" in s:
+        params["text_projection"] = jnp.asarray(s["text_projection.weight"]).T
     i = 0
     while f"encoder.layers.{i}.layer_norm1.weight" in s:
         pre = f"encoder.layers.{i}"
@@ -100,9 +157,11 @@ def hf_clip_text_to_params(state: dict) -> dict:
 
 
 def init_clip_text(key, vocab: int = 49408, width: int = 768, layers: int = 12,
-                   seq: int = 77, mlp_ratio: int = 4, dtype=jnp.float32) -> dict:
-    """Random init (tests / no-weights environments)."""
-    keys = jax.random.split(key, 4 + layers * 6)
+                   seq: int = 77, mlp_ratio: int = 4, dtype=jnp.float32,
+                   proj_dim: int = 0) -> dict:
+    """Random init (tests / no-weights environments). proj_dim>0 adds
+    text_projection (the WithProjection variant, SDXL encoder 2)."""
+    keys = jax.random.split(key, 5 + layers * 6)
     ki = iter(keys)
     params = {
         "token_embedding": jax.random.normal(next(ki), (vocab, width), dtype) * 0.02,
@@ -125,4 +184,7 @@ def init_clip_text(key, vocab: int = 49408, width: int = 768, layers: int = 12,
                 "w": jax.random.normal(next(ki), (ci, co), dtype) / np.sqrt(ci),
                 "b": jnp.zeros((co,), dtype),
             }
+    if proj_dim:
+        params["text_projection"] = (
+            jax.random.normal(next(ki), (width, proj_dim), dtype) / np.sqrt(width))
     return params

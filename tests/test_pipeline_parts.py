@@ -6,8 +6,10 @@ import pytest
 
 from dgq_tpu.pipeline.text_encoder import (
     clip_text_encode,
+    clip_text_pooled,
     hf_clip_text_to_params,
     init_clip_text,
+    sdxl_encode_prompt,
 )
 from dgq_tpu.pipeline.vae import (
     init_vae_decoder,
@@ -61,6 +63,65 @@ def test_clip_parity_vs_hf_torch():
         ref = model(torch.from_numpy(ids)).last_hidden_state.numpy()
     ours = clip_text_encode(params, jnp.asarray(ids), num_layers=2, num_heads=4)
     assert np.allclose(np.asarray(ours), ref, atol=2e-4), np.abs(np.asarray(ours) - ref).max()
+
+
+def test_clip_with_projection_parity_vs_hf():
+    """SDXL encoder-2 semantics: penultimate hidden states (hidden_states[-2])
+    and projected pooled output vs a tiny HF CLIPTextModelWithProjection with
+    hidden_act='gelu' (the OpenCLIP-bigG configuration)."""
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+    except Exception:
+        pytest.skip("transformers unavailable")
+
+    config = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, projection_dim=24,
+        max_position_embeddings=77, hidden_act="gelu", eos_token_id=98,
+    )
+    torch.manual_seed(1)
+    model = CLIPTextModelWithProjection(config).eval()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = hf_clip_text_to_params(state)
+    assert params["text_projection"].shape == (32, 24)
+
+    # real-tokenizer shape: tokens then EOS (the vocab max — argmax pooling
+    # and HF's find-first-eos agree, as for the real 49407 EOS)
+    rs = np.random.RandomState(3)
+    ids = rs.randint(0, 98, (2, 77))
+    ids[0, 9] = 98
+    ids[0, 10:] = 98  # tokenizer-1 style: pad == eos
+    ids[1, 33] = 98
+    ids[1, 34:] = 0   # tokenizer-2 style: pad '!' (id 0)
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids), output_hidden_states=True)
+    ref_penult = out.hidden_states[-2].numpy()
+    ref_pooled = out.text_embeds.numpy()
+
+    ours_penult = clip_text_encode(params, jnp.asarray(ids), num_layers=3,
+                                   num_heads=4, act="gelu", skip_last=1)
+    ours_pooled = clip_text_pooled(params, jnp.asarray(ids), num_layers=3,
+                                   num_heads=4, act="gelu")
+    assert np.allclose(np.asarray(ours_penult), ref_penult, atol=2e-4), \
+        np.abs(np.asarray(ours_penult) - ref_penult).max()
+    assert np.allclose(np.asarray(ours_pooled), ref_pooled, atol=2e-4), \
+        np.abs(np.asarray(ours_pooled) - ref_pooled).max()
+
+
+def test_sdxl_encode_prompt_shapes():
+    """Dual-encoder concat: (B,77,w_l+w_g) hidden states + (B,proj) pooled."""
+    p_l = init_clip_text(jax.random.PRNGKey(0), vocab=100, width=32, layers=2)
+    p_g = init_clip_text(jax.random.PRNGKey(1), vocab=100, width=48, layers=3,
+                         proj_dim=48)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 100, (2, 77)))
+    ehs, pooled = sdxl_encode_prompt(p_l, p_g, ids, ids,
+                                     layers_l=2, heads_l=4,
+                                     layers_g=3, heads_g=4)
+    assert ehs.shape == (2, 77, 32 + 48)
+    assert pooled.shape == (2, 48)
+    assert np.isfinite(np.asarray(ehs)).all()
+    assert np.isfinite(np.asarray(pooled)).all()
 
 
 def test_vae_decoder_tiny():
