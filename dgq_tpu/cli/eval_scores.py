@@ -1,0 +1,129 @@
+"""Score generated images: FID, Inception Score, CLIP score.
+
+The reference shells out to pytorch-fid / torch-fidelity / open_clip
+(scripts/eval_scores.sh:17-32, src/eval_clip_score.py:23-70); here every
+metric runs in-process on our JAX InceptionV3 extractor
+(dgq_tpu/eval/inception.py) and the transformers CLIP scorer.
+
+  python -m dgq_tpu.cli.eval_scores --gen_dir out/im256 \
+      --inception_ckpt pt_inception-2015-12-05-6726825d.pth \
+      --ref_stats data/real_im256.npz --isc
+  # CLIP score additionally: --clip_model <local CLIP snapshot> --prompts f.csv
+
+--ref_stats takes the reference's real_im256.npz (mu/sigma) format; pass
+--ref_dir instead to compute stats from a directory of reference images.
+Without --inception_ckpt a random-init extractor is used (relative
+comparisons only — the absolute FID is meaningless without real weights)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_images(path: str, limit: int = 0) -> np.ndarray:
+    """Directory of .png/.jpg/.npy images -> (N, H, W, 3) uint8."""
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+    )
+    if limit:
+        names = names[:limit]
+    if not names:
+        raise FileNotFoundError(f"no images in {path}")
+    out = []
+    for f in names:
+        fp = os.path.join(path, f)
+        if f.endswith(".npy"):
+            arr = np.load(fp)
+        else:
+            from PIL import Image
+
+            arr = np.asarray(Image.open(fp).convert("RGB"))
+        out.append(arr.astype(np.uint8))
+    return np.stack(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--gen_dir", required=True, help="generated images dir")
+    ap.add_argument("--ref_stats", default=None,
+                    help="real_im256.npz-format (mu, sigma) reference stats")
+    ap.add_argument("--ref_dir", default=None,
+                    help="reference images dir (stats computed here)")
+    ap.add_argument("--inception_ckpt", default=None,
+                    help="local pt_inception-2015-12-05-*.pth")
+    ap.add_argument("--isc", action="store_true", help="also compute IS "
+                    "(needs the checkpoint's fc head)")
+    ap.add_argument("--clip_model", default=None,
+                    help="local CLIP snapshot dir for CLIP score")
+    ap.add_argument("--prompts", default=None,
+                    help="prompt csv/tsv aligned with sorted image names")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="score only the first N images (reference uses 3000 "
+                    "for CLIP, eval_scores.sh:28)")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--out", default=None, help="write results json here too")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from dgq_tpu.eval.inception import (
+        fid_features,
+        inception_probs,
+        init_inception,
+        load_pt_inception,
+    )
+    from dgq_tpu.eval.scores import (
+        frechet_distance,
+        gaussian_stats,
+        inception_score,
+    )
+
+    gen = load_images(args.gen_dir, args.limit)
+    print(f"scoring {len(gen)} images from {args.gen_dir}", file=sys.stderr)
+
+    if args.inception_ckpt:
+        params = load_pt_inception(args.inception_ckpt)
+    else:
+        print("WARNING: no --inception_ckpt; random-init extractor "
+              "(relative FID only)", file=sys.stderr)
+        params = init_inception(jax.random.PRNGKey(0))
+
+    results = {}
+    feats = fid_features(params, gen, batch_size=args.batch)
+    mu, sigma = gaussian_stats(feats)
+
+    if args.ref_stats:
+        z = np.load(args.ref_stats)
+        results["fid"] = frechet_distance(mu, sigma, z["mu"], z["sigma"])
+    elif args.ref_dir:
+        ref = load_images(args.ref_dir, args.limit)
+        mu_r, sg_r = gaussian_stats(fid_features(params, ref, args.batch))
+        results["fid"] = frechet_distance(mu, sigma, mu_r, sg_r)
+
+    if args.isc:
+        probs = inception_probs(params, gen, batch_size=args.batch)
+        is_mean, is_std = inception_score(probs)
+        results["inception_score"] = is_mean
+        results["inception_score_std"] = is_std
+
+    if args.clip_model and args.prompts:
+        from dgq_tpu.cli.gen4eval import read_prompts
+        from dgq_tpu.eval.scores import clip_score
+
+        prompts = read_prompts(args.prompts)[: len(gen)]
+        results["clip_score"] = clip_score(list(gen), prompts, args.clip_model)
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f)
+    return results
+
+
+if __name__ == "__main__":
+    main()
