@@ -55,6 +55,8 @@ def bench_sdxl(args):
         w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
         t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
         use_pallas_attention=not args.no_pallas_attn,
+        use_int8_matmul=args.int8,
+        use_int8_conv=args.int8_conv,
     )
     t0 = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
@@ -158,13 +160,32 @@ def bench_sd(args):
     use_group = group_num > 1
     # g=1 policy disables the t2i softmax tricks (reference
     # scripts/quantize_act.sh:20-26); g>1 is the flagship DGQ config.
+    # int8 MXU stays on in group mode for every layer with per-tensor scales
+    # (linears, 1x1 convs) — only the k×k group convs take the group path.
     cfg = QConfig(
         w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
         t2i_log_quant=use_group, t2i_real_time=use_group,
         t2i_start_peak=use_group,
         use_pallas_attention=not args.no_pallas_attn,
-        use_int8_matmul=args.int8 and not use_group,
+        use_int8_matmul=args.int8,
+        use_int8_conv=args.int8_conv,
     )
+    t_slots = args.steps
+    time_aware = not args.no_time_aware
+    if use_group:
+        qstate, group_layers = _sd_group_qstate(
+            spec, t_slots, time_aware, group_num, dtype)
+        cfg = cfg.replace(group_conv_layers=group_layers,
+                          group_conv_impl=args.group_impl)
+    else:
+        def mk_qp():
+            shape = (t_slots,) if time_aware else ()
+            return QParams(
+                delta=jnp.full(shape, 0.05, dtype),
+                zero_point=jnp.full(shape, 128.0, dtype),
+            )
+
+        qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
     t0 = time.perf_counter()
     # init + quantize + fold on the host CPU: local compiles, one pass; the
     # TPU only sees the final folded weights
@@ -185,25 +206,6 @@ def bench_sd(args):
         jax.block_until_ready(vae_params)
     del params
     print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    # synthetic A8 activation qparams (throughput is value-independent)
-    t_slots = args.steps
-    time_aware = not args.no_time_aware
-
-    if use_group:
-        qstate, group_layers = _sd_group_qstate(
-            spec, t_slots, time_aware, group_num, dtype)
-        cfg = cfg.replace(group_conv_layers=group_layers,
-                          group_conv_impl=args.group_impl)
-    else:
-        def mk_qp():
-            shape = (t_slots,) if time_aware else ()
-            return QParams(
-                delta=jnp.full(shape, 0.05, dtype),
-                zero_point=jnp.full(shape, 128.0, dtype),
-            )
-
-        qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
 
     b = args.batch
     latents = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4), dtype)
@@ -252,9 +254,16 @@ def main():
     ap.add_argument("--no-time-aware", action="store_true")
     ap.add_argument("--no-pallas-attn", action="store_true",
                     help="use the XLA materialized-softmax path")
-    ap.add_argument("--int8", action="store_true", default=True,
-                    help="int8 MXU path for per-tensor-scale layers")
+    ap.add_argument("--int8", action="store_true", default=False,
+                    help="int8 MXU Pallas matmuls for per-tensor-scale "
+                         "linears/1x1 convs. Off by default: measured v5e "
+                         "end-to-end, the Pallas custom call's fusion "
+                         "barrier costs more than int8 compute saves "
+                         "(g=1: 0.89 bf16 vs 0.75 img/s int8)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--int8-conv", action="store_true", default=False,
+                    help="also run k×k convs as XLA s8 convs (measured "
+                         "slower than bf16 on v5e; off by default)")
     ap.add_argument("--group", type=int, default=1,
                     help="DGQ group number (g>1 runs the group-conv path)")
     ap.add_argument("--group-impl", default="taps", choices=["taps", "unfold"])
@@ -273,7 +282,8 @@ def main():
     imgs_per_sec = bench_sd(args)
     extra = {
         "includes_vae_decode": not args.no_vae,
-        "int8_mxu": args.int8 and args.group <= 1,
+        "int8_mxu": args.int8,
+        "int8_conv": args.int8_conv,
         "group": args.group,
         "baseline_estimated": True,
     }

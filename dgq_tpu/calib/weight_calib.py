@@ -106,7 +106,7 @@ def quantize_model_weights(
     src/quantize_weight.py:53,177-179): init scales then fold."""
     wqp = init_weight_qparams(params, spec, cfg.w_bits, scaler)
     params_q = fold_weight_quant(params, wqp, spec, cfg)
-    if cfg.use_int8_matmul:
+    if cfg.use_int8_matmul or cfg.use_int8_conv:
         params_q = attach_int8_packed(params_q, wqp, spec, cfg)
     return params_q, wqp
 
@@ -136,6 +136,10 @@ def attach_int8_packed(
             continue
         if kind not in ("conv", "linear"):
             continue
+        if name in cfg.group_conv_layers:
+            continue  # group convs run the group fake-quant path; packed
+            # codes would only waste HBM (models/layers.quant_conv2d routes
+            # group layers before the int8 check)
         p = dict(params_q[name])
         qp = wqp[name]
         if kind == "linear":
@@ -151,9 +155,13 @@ def attach_int8_packed(
                  - off).astype(np.int8)
         zr = (z - off).astype(np.float32)
         if kind == "linear" or (meta[2] == 1 and p["w"].shape[:2] == (1, 1)):
+            if not cfg.use_int8_matmul:
+                continue
             p["w_q8"], p["w_d"], p["w_z"] = (
                 jnp.asarray(codes), jnp.asarray(d), jnp.asarray(zr))
         else:
+            if not cfg.use_int8_conv:
+                continue  # k×k codes only help the s8-conv path
             p["w_q8c"] = jnp.asarray(codes.reshape(p["w"].shape))
             p["w_d"], p["w_z"] = jnp.asarray(d), jnp.asarray(zr)
             p["w_ksum"] = jnp.asarray(

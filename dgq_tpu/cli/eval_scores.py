@@ -106,10 +106,14 @@ def main(argv=None):
         results["fid"] = frechet_distance(mu, sigma, mu_r, sg_r)
 
     if args.isc:
-        probs = inception_probs(params, gen, batch_size=args.batch)
-        is_mean, is_std = inception_score(probs)
-        results["inception_score"] = is_mean
-        results["inception_score_std"] = is_std
+        if "fc" not in params:
+            print("WARNING: --isc skipped (no fc head; pass --inception_ckpt "
+                  "with a full pt_inception checkpoint)", file=sys.stderr)
+        else:
+            probs = inception_probs(params, gen, batch_size=args.batch)
+            is_mean, is_std = inception_score(probs)
+            results["inception_score"] = is_mean
+            results["inception_score_std"] = is_std
 
     if args.clip_model and args.prompts:
         from dgq_tpu.cli.gen4eval import read_prompts

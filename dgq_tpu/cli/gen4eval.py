@@ -59,8 +59,12 @@ def parse_args():
     ap.add_argument("--im256", action="store_true", help="also save 256px copies")
     ap.add_argument("--unet_weights", default=None)
     ap.add_argument("--text_weights", default=None)
+    ap.add_argument("--text_weights_2", default=None,
+                    help="SDXL second text encoder (bigG WithProjection) dir")
     ap.add_argument("--vae_weights", default=None)
     ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--tokenizer_2", default=None,
+                    help="SDXL second tokenizer dir")
     ap.add_argument("--base", type=int, default=None)
     return ap.parse_args()
 
@@ -117,7 +121,7 @@ def main():
     from dgq_tpu.calib.data import synthetic_prompt_embeddings
 
     # text encoder / tokenizer optional; fall back to synthetic embeddings
-    text_params = tokenizer = vae_params = None
+    text_params = text_params_2 = tokenizer = tokenizer_2 = vae_params = None
     if args.text_weights and args.tokenizer:
         from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
@@ -125,6 +129,14 @@ def main():
 
         text_params = hf_clip_text_to_params(load_state_dict_any(args.text_weights))
         tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+    if args.text_weights_2 and args.tokenizer_2:
+        from dgq_tpu.io.hf_loader import load_state_dict_any
+        from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
+        from transformers import CLIPTokenizer
+
+        text_params_2 = hf_clip_text_to_params(
+            load_state_dict_any(args.text_weights_2))
+        tokenizer_2 = CLIPTokenizer.from_pretrained(args.tokenizer_2)
     if args.vae_weights:
         from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.vae import hf_vae_to_params
@@ -138,6 +150,8 @@ def main():
         pipe = SDXLTurboPipeline(
             unet_params=params_q, vae_params=vae_params, cfg=cfg,
             qstate=qstate, time_aware=time_aware, unet_apply=apply_fn,
+            text_params_l=text_params, text_params_g=text_params_2,
+            tokenizer=tokenizer, tokenizer_2=tokenizer_2,
         )
     else:
         pipe = SDPipeline(
@@ -153,13 +167,19 @@ def main():
         for rep in range(args.n_per_prompt):
             seed = args.seed + rep * 100003 + i
             if args.model == "sdxl":
-                from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+                if None not in (tokenizer, tokenizer_2, text_params,
+                                text_params_2):
+                    imgs = pipe(batch_prompts, steps=steps, seed=seed)
+                else:
+                    from dgq_tpu.calib.data import synthetic_sdxl_embeddings
 
-                text, pooled = synthetic_sdxl_embeddings(
-                    len(batch_prompts), dim=cross,
-                    pooled_dim=pooled_dim_for(args.model, args.base), seed=seed,
-                )
-                imgs = pipe.generate_from_embeddings(text, pooled, steps=steps, seed=seed)
+                    text, pooled = synthetic_sdxl_embeddings(
+                        len(batch_prompts), dim=cross,
+                        pooled_dim=pooled_dim_for(args.model, args.base),
+                        seed=seed,
+                    )
+                    imgs = pipe.generate_from_embeddings(
+                        text, pooled, steps=steps, seed=seed)
             elif tokenizer is not None and text_params is not None:
                 imgs = pipe(batch_prompts, steps=steps, seed=seed)
             else:

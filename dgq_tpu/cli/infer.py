@@ -32,8 +32,13 @@ def parse_args():
     ap.add_argument("--fp16", action="store_true", help="run in bfloat16")
     ap.add_argument("--unet_weights", default=None)
     ap.add_argument("--text_weights", default=None, help="HF CLIP text model dir")
+    ap.add_argument("--text_weights_2", default=None,
+                    help="SDXL second text encoder dir (OpenCLIP-bigG "
+                         "CLIPTextModelWithProjection)")
     ap.add_argument("--vae_weights", default=None, help="HF VAE dir")
     ap.add_argument("--tokenizer", default=None, help="local CLIPTokenizer dir")
+    ap.add_argument("--tokenizer_2", default=None,
+                    help="SDXL second tokenizer dir ('!' pad)")
     ap.add_argument("--base", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
@@ -82,12 +87,18 @@ def main():
         params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
 
     # text encoder / VAE (optional local weights)
-    text_params = vae_params = tokenizer = None
+    text_params = text_params_2 = vae_params = tokenizer = tokenizer_2 = None
     if args.text_weights:
         from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
 
         text_params = hf_clip_text_to_params(load_state_dict_any(args.text_weights))
+    if args.text_weights_2:
+        from dgq_tpu.io.hf_loader import load_state_dict_any
+        from dgq_tpu.pipeline.text_encoder import hf_clip_text_to_params
+
+        text_params_2 = hf_clip_text_to_params(
+            load_state_dict_any(args.text_weights_2))
     if args.vae_weights:
         from dgq_tpu.io.hf_loader import load_state_dict_any
         from dgq_tpu.pipeline.vae import hf_vae_to_params
@@ -97,6 +108,10 @@ def main():
         from transformers import CLIPTokenizer
 
         tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+    if args.tokenizer_2:
+        from transformers import CLIPTokenizer
+
+        tokenizer_2 = CLIPTokenizer.from_pretrained(args.tokenizer_2)
 
     if args.fp16:
         params_q = jax.tree.map(
@@ -117,14 +132,20 @@ def main():
             pipe = SDXLTurboPipeline(
                 unet_params=p, vae_params=vae_params, cfg=c, qstate=qs,
                 time_aware=ta, unet_apply=apply_fn,
+                text_params_l=text_params, text_params_g=text_params_2,
+                tokenizer=tokenizer, tokenizer_2=tokenizer_2,
             )
-            text, pooled = synthetic_sdxl_embeddings(
-                2, dim=cross, pooled_dim=pooled_dim_for(args.model, args.base),
-                seed=args.seed,
-            )
-            imgs = pipe.generate_from_embeddings(
-                text, pooled, steps=steps, seed=args.seed, **hw
-            )
+            if None not in (tokenizer, tokenizer_2, text_params, text_params_2):
+                imgs = pipe([args.prompt] * 2, steps=steps, seed=args.seed, **hw)
+            else:
+                text, pooled = synthetic_sdxl_embeddings(
+                    2, dim=cross,
+                    pooled_dim=pooled_dim_for(args.model, args.base),
+                    seed=args.seed,
+                )
+                imgs = pipe.generate_from_embeddings(
+                    text, pooled, steps=steps, seed=args.seed, **hw
+                )
         else:
             pipe = SDPipeline(
                 unet_params=p, text_params=text_params, vae_params=vae_params,

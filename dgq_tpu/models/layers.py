@@ -206,11 +206,11 @@ def quant_conv2d(
         return conv2d_unfolded(p, x_unf, (ho, wo))
     qp = _int8_qp(p, qstate, cfg, name)
     if qp is not None:
-        if kh == 1 and kw == 1 and stride == 1 and padding == 0:
+        if kh == 1 and kw == 1 and stride == 1 and padding == 0 and "w_q8" in p:
             b, h, w, c = x.shape
             y = _int8_matmul(p, jnp.reshape(x, (b * h * w, c)), qp, cfg)
             return jnp.reshape(y, (b, h, w, y.shape[-1]))
-        if "w_q8c" in p:
+        if "w_q8c" in p and cfg.use_int8_conv:
             return _int8_conv(p, x, qp, cfg, stride, padding)
     x = aq_apply(qstate, cfg, name, x)
     return conv2d(p, x, stride, padding)
@@ -231,7 +231,8 @@ def _tap_unfolded(qstate, cfg, name, x, conv_geom):
 
 def _int8_qp(p, qstate, cfg, name):
     """Per-tensor activation QParams for the int8 kernel path, if eligible."""
-    if not (cfg.use_int8_matmul and cfg.use_aq and qstate is not None):
+    if not ((cfg.use_int8_matmul or cfg.use_int8_conv) and cfg.use_aq
+            and qstate is not None):
         return None
     if "w_q8" not in p and "w_q8c" not in p:
         return None

@@ -96,6 +96,10 @@ class QConfig:
     # run as the int8 MXU Pallas kernel (requires packed weights attached by
     # calib.weight_calib.attach_int8_packed).
     use_int8_matmul: bool = False
+    # deploy path: k×k convs as XLA s8xs8->s32 convs with analytic zero-point
+    # correction (models/layers._int8_conv). Separately gated from the matmul
+    # kernel so each can be benchmarked/enabled on its own.
+    use_int8_conv: bool = False
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

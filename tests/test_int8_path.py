@@ -88,6 +88,61 @@ def test_group_scales_stay_on_fake_path():
     assert _int8_qp(p, {"a": {"L": qp}}, cfg, "L") is not None
 
 
+def test_int8_on_with_group_layers(monkeypatch):
+    """The flagship g>1 config keeps int8 on: group layers skip packing and
+    route to the group path; per-tensor-scale layers still pack and run int8."""
+    import dgq_tpu.ops.pallas.int8_matmul as M
+    from dgq_tpu.models.layers import quant_conv2d
+    from dgq_tpu.models.qconfig import GroupQParams
+
+    orig = M.quantized_matmul
+    monkeypatch.setattr(
+        M, "quantized_matmul",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+    rng = np.random.RandomState(5)
+    spec = [
+        ("g3", "conv", (8, 16, 3, 1, 1)),   # group conv (k=3)
+        ("p1", "conv", (8, 16, 1, 1, 0)),   # per-tensor 1x1 -> int8
+    ]
+    params = {
+        "g3": {"w": jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1),
+               "b": jnp.asarray(rng.randn(16).astype(np.float32))},
+        "p1": {"w": jnp.asarray(rng.randn(1, 1, 8, 16).astype(np.float32) * 0.1),
+               "b": jnp.asarray(rng.randn(16).astype(np.float32))},
+    }
+    cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
+                  use_int8_matmul=True, use_int8_conv=True,
+                  group_conv_layers=("g3",), group_conv_impl="taps")
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, cfg)
+    pq = attach_int8_packed(pq, wqp, spec, cfg)
+    assert "w_q8c" not in pq["g3"] and "w_q8" not in pq["g3"]  # skipped
+    assert "w_q8" in pq["p1"]
+
+    x = jnp.asarray(rng.randn(2, 6, 6, 8).astype(np.float32))
+    gqp = GroupQParams(
+        delta_mid=jnp.full((8 * 9,), 0.05), zp_mid=jnp.full((8 * 9,), 128.0),
+        delta_last=jnp.ones((1,)), zp_last=jnp.zeros((1,)),
+    )
+    xqp = init_scale(x, 8, Scaler.MINMAX)
+    qstate = {"a": {"g3": gqp, "p1": QParams(xqp.delta, xqp.zero_point)},
+              "sm": {}}
+    y_g = quant_conv2d(pq["g3"], x, "g3", qstate, cfg, 1, 1)
+    assert y_g.shape == (2, 6, 6, 16) and np.isfinite(np.asarray(y_g)).all()
+    # oracle: same group conv through the materialized-unfold impl
+    y_ref = quant_conv2d(pq["g3"], x, "g3", qstate,
+                         cfg.replace(group_conv_impl="unfold"), 1, 1)
+    assert np.allclose(np.asarray(y_g), np.asarray(y_ref), atol=2e-4), \
+        np.abs(np.asarray(y_g) - np.asarray(y_ref)).max()
+    # int8 1x1 == fake-quant path
+    y_i8 = quant_conv2d(pq["p1"], x, "p1", qstate, cfg, 1, 0)
+    y_fk = quant_conv2d(pq["p1"], x, "p1", qstate,
+                        cfg.replace(use_int8_matmul=False), 1, 0)
+    assert np.allclose(np.asarray(y_i8), np.asarray(y_fk), atol=2e-3), \
+        np.abs(np.asarray(y_i8) - np.asarray(y_fk)).max()
+
+
 def test_a6_bits_recentering():
     """A6 codes recenter by 32 and clip to [-32, 31] (reference W4A6 config)."""
     rng = np.random.RandomState(2)
@@ -118,7 +173,7 @@ def test_int8_conv_matches_fake_quant():
             "b": jnp.asarray(rng.randn(24).astype(np.float32)),
         }}
         cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
-                      use_int8_matmul=True, disable_out_quant=False)
+                      use_int8_conv=True, disable_out_quant=False)
         wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
         pq = fold_weight_quant(params, wqp, spec, cfg)
         pq = attach_int8_packed(pq, wqp, spec, cfg)
@@ -130,7 +185,7 @@ def test_int8_conv_matches_fake_quant():
 
         out_i8 = quant_conv2d(pq[name], x, name, qstate, cfg, stride, padding)
         out_fq = quant_conv2d(pq[name], x, name, qstate,
-                              cfg.replace(use_int8_matmul=False), stride, padding)
+                              cfg.replace(use_int8_conv=False), stride, padding)
         assert out_i8.shape == out_fq.shape
         assert np.allclose(np.asarray(out_i8), np.asarray(out_fq), atol=2e-3), \
             (stride, padding, np.abs(np.asarray(out_i8) - np.asarray(out_fq)).max())
@@ -148,7 +203,7 @@ def test_int8_conv_a6():
         "b": None,
     }}
     cfg = QConfig(w_bits=4, a_bits=6, use_wq=True, use_aq=True,
-                  use_int8_matmul=True, disable_out_quant=False)
+                  use_int8_conv=True, disable_out_quant=False)
     wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
     pq = attach_int8_packed(fold_weight_quant(params, wqp, spec, cfg), wqp, spec, cfg)
     x = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
@@ -156,7 +211,7 @@ def test_int8_conv_a6():
     qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point)}, "sm": {}}
     out_i8 = quant_conv2d(pq[name], x, name, qstate, cfg, 1, 1)
     out_fq = quant_conv2d(pq[name], x, name, qstate,
-                          cfg.replace(use_int8_matmul=False), 1, 1)
+                          cfg.replace(use_int8_conv=False), 1, 1)
     assert np.allclose(np.asarray(out_i8), np.asarray(out_fq), atol=2e-3)
 
 

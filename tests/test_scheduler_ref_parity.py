@@ -32,6 +32,15 @@ def ref_schedulers():
         huggingface_hub.cached_download = huggingface_hub.hf_hub_download
     if REF_DIFFUSERS not in sys.path:
         sys.path.insert(0, REF_DIFFUSERS)
+    shim = sys.modules.get("diffusers")
+    if shim is not None and not hasattr(shim, "__path__"):
+        # tests/ref_shim.py's minimal stand-in (a plain module, not a
+        # package) is installed by the UNet-parity tests; drop it so the
+        # real vendored package can load. Already-imported consumers keep
+        # their shim references; install_diffusers_shim() no-ops afterwards.
+        for k in [k for k in sys.modules
+                  if k == "diffusers" or k.startswith("diffusers.")]:
+            del sys.modules[k]
     from diffusers.schedulers.scheduling_ddim import DDIMScheduler
     from diffusers.schedulers.scheduling_euler_discrete import (
         EulerDiscreteScheduler,
