@@ -195,6 +195,27 @@ def quant_conv2d(
     kh, kw = p["w"].shape[0], p["w"].shape[1]
     if name in cfg.group_conv_layers and cfg.use_aq:
         gqp = (qstate or {}).get("a", {}).get(name) if qstate is not None else None
+        if cfg.group_conv_impl == "fused" and gqp is not None:
+            from dgq_tpu.ops.pallas.group_conv import (
+                fused_eligible,
+                group_quant_conv,
+            )
+
+            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
+            if fused_eligible(x.shape, p["w"].shape[-1], kh, kw, stride,
+                              padding, gqp):
+                c = x.shape[-1]
+                # mid axis is c-major (c, i, j); kernel wants (tap, channel)
+                dm = jnp.reshape(gqp.delta_mid, (c, kh * kw)).T
+                zm = jnp.reshape(gqp.zp_mid, (c, kh * kw)).T
+                return group_quant_conv(
+                    x, p["w"], dm, zm,
+                    gqp.delta_last.reshape(-1)[0], gqp.zp_last.reshape(-1)[0],
+                    p.get("b"), kh=kh, kw=kw, padding=padding,
+                    a_bits=cfg.a_bits,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
         if cfg.group_conv_impl == "taps" and gqp is not None:
             _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
