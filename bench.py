@@ -52,7 +52,8 @@ def bench_sdxl(args):
     dev = jax.devices()[0]
     spec = sdxl_unet_spec()
     cfg = QConfig(
-        w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
+        w_bits=args.wq, a_bits=args.aq, softmax_bits=args.aq,
+        use_wq=True, use_aq=True,
         t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
         use_pallas_attention=not args.no_pallas_attn,
         use_int8_matmul=args.int8,
@@ -96,7 +97,7 @@ def bench_sdxl(args):
     best = min(times)
     print(f"times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"sdxl_turbo_w4a8_images_per_sec_per_chip_{args.steps}step_1024px",
+        "metric": f"sdxl_turbo_w{args.wq}a{args.aq}_images_per_sec_per_chip_{args.steps}step_1024px",
         "value": round(b / best, 4),
         "unit": "img/s",
         "vs_baseline": round(b / best / A6000_REF_SDXL_IMGS_PER_SEC, 3),
@@ -163,7 +164,8 @@ def bench_sd(args):
     # int8 MXU stays on in group mode for every layer with per-tensor scales
     # (linears, 1x1 convs) — only the k×k group convs take the group path.
     cfg = QConfig(
-        w_bits=4, a_bits=8, softmax_bits=8, use_wq=True, use_aq=True,
+        w_bits=args.wq, a_bits=args.aq, softmax_bits=args.aq,
+        use_wq=True, use_aq=True,
         t2i_log_quant=use_group, t2i_real_time=use_group,
         t2i_start_peak=use_group,
         use_pallas_attention=not args.no_pallas_attn,
@@ -248,6 +250,10 @@ def main():
     ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
     ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--wq", type=int, default=4, choices=[4, 8],
+                    help="weight bits (BASELINE configs use W4/W8)")
+    ap.add_argument("--aq", type=int, default=8, choices=[6, 8],
+                    help="activation bits (A6 = BASELINE config 4)")
     ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
@@ -303,7 +309,7 @@ def main():
             extra["g8_error"] = repr(e)[:200]
 
     print(json.dumps({
-        "metric": f"sd14_w4a8_images_per_sec_per_chip_{args.steps}step_512px",
+        "metric": f"sd14_w{args.wq}a{args.aq}_images_per_sec_per_chip_{args.steps}step_512px",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / A6000_REF_IMGS_PER_SEC, 3),

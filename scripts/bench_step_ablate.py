@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Single-UNet-forward ablation on the real chip: where does step time go?
+
+Times one SD UNet forward (CFG batch, 64x64 latents) under:
+  fp        — no quantization at all
+  wq        — folded W4 weights only (same compute as fp; sanity)
+  wq+aq     — + A8 per-tensor activation quant everywhere
+  +pallas   — + fused attention kernel (the deploy config)
+  +xla-attn — deploy config but materialized-softmax attention
+
+Prints ms/forward and implied TFLOP/s. Run with nothing else on the TPU.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgq_tpu.calib.act_calib import act_qpoint_names
+from dgq_tpu.calib.weight_calib import quantize_model_weights
+from dgq_tpu.models.qconfig import QConfig
+from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply
+from dgq_tpu.quant.affine import QParams
+from dgq_tpu.quant.scalers import Scaler
+
+B = 8  # CFG-doubled batch for 4 images
+FLOPS = B * 391.5e9 * 2  # MACs per forward x2
+
+
+def timeit(fn, args, runs=30):
+    out = fn(*args)
+    np.asarray(jax.device_get(out[:, :1, :1, :1])).sum()
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fn(*args)
+    np.asarray(jax.device_get(out[:, :1, :1, :1])).sum()
+    return (time.perf_counter() - t0) / runs
+
+
+def main():
+    dtype = jnp.bfloat16
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+    spec = sd_unet_spec()
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
+        cfgq = QConfig(w_bits=4, a_bits=8, softmax_bits=8, use_wq=True,
+                       use_aq=True)
+        params_q, _ = quantize_model_weights(params, spec, cfgq, Scaler.MINMAX)
+        params_q = jax.tree.map(
+            lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
+            params_q, is_leaf=lambda x: x is None)
+    params_q = jax.device_put(params_q, dev)
+    jax.block_until_ready(params_q)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 4), dtype)
+    t = jnp.full((B,), 500.0, dtype)
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (B, 77, 768), dtype)
+    qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype), jnp.asarray(128.0, dtype))
+                    for n in act_qpoint_names(spec)}, "sm": {}}
+
+    configs = [
+        ("fp (no quant)", QConfig(), None),
+        ("wq+aq xla-attn", cfgq, qstate),
+        ("wq+aq +log2 xla-attn",
+         cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
+                      t2i_start_peak=True), qstate),
+        ("deploy (pallas attn)",
+         cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
+                      t2i_start_peak=True, use_pallas_attention=True), qstate),
+        ("pallas attn, no aq", QConfig(use_pallas_attention=True), None),
+        # deploy but with the attention-input quantizers (aqtizer_q/k/v)
+        # removed — sizes the cost of quantizing q/k/v OUTSIDE the kernel
+        ("deploy, no qkv aq",
+         cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
+                      t2i_start_peak=True, use_pallas_attention=True),
+         {"a": {n: qp for n, qp in qstate["a"].items()
+                if not n.endswith(("aqtizer_q", "aqtizer_k", "aqtizer_v"))},
+          "sm": {}}),
+        # deploy with ONLY conv/linear input quantizers (no attention taps)
+        ("deploy, conv/lin aq only",
+         cfgq.replace(use_pallas_attention=True),
+         {"a": {n: qp for n, qp in qstate["a"].items()
+                if "aqtizer" not in n}, "sm": {}}),
+    ]
+    for label, cfg, qs in configs:
+        fn = jax.jit(lambda p, xx, tt, ee, q, c=cfg: unet_sd_apply(
+            p, xx, tt, ee, qstate=q, cfg=c))
+        dt = timeit(fn, (params_q, x, t, ehs, qs))
+        print(f"{label:26s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
+
+
+if __name__ == "__main__":
+    main()
