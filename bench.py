@@ -104,11 +104,14 @@ def bench_sdxl(args):
     }))
 
 
-def _sd_group_qstate(spec, t_slots, time_aware, group_num, dtype):
+def _sd_group_qstate(spec, t_slots, time_aware, dtype):
     """Synthetic g>1 DGQ group activation qparams: every k×k conv gets
     mid-axis (C*kh*kw) group scales (the reference's unfold layout,
-    quant_layer.py:391-402), every other tap per-tensor. Throughput is
-    value-independent; shapes/paths are what the flagship config exercises."""
+    quant_layer.py:391-402), every other tap per-tensor. The group COUNT
+    does not appear here: saved group checkpoints expand per-cluster scales
+    to per-channel tensors (SURVEY §2.3), so runtime shapes — and therefore
+    throughput — are identical for any g>1. Only group mode on/off changes
+    the executed program."""
     import jax.numpy as jnp
 
     from dgq_tpu.calib.act_calib import act_qpoint_names
@@ -176,7 +179,7 @@ def bench_sd(args):
     time_aware = not args.no_time_aware
     if use_group:
         qstate, group_layers = _sd_group_qstate(
-            spec, t_slots, time_aware, group_num, dtype)
+            spec, t_slots, time_aware, dtype)
         cfg = cfg.replace(group_conv_layers=group_layers,
                           group_conv_impl=args.group_impl)
     else:

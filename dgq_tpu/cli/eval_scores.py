@@ -25,7 +25,11 @@ import numpy as np
 
 
 def load_images(path: str, limit: int = 0) -> np.ndarray:
-    """Directory of .png/.jpg/.npy images -> (N, H, W, 3) uint8."""
+    """Directory of .png/.jpg/.npy images -> (N, H, W, 3) uint8.
+
+    Mixed-size sets (the normal case for reference-image directories) are
+    resized per-image to 299x299 bilinear — the same target the Inception
+    preprocessing uses, mirroring pytorch-fid's per-image resize."""
     names = sorted(
         f for f in os.listdir(path)
         if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
@@ -44,6 +48,12 @@ def load_images(path: str, limit: int = 0) -> np.ndarray:
 
             arr = np.asarray(Image.open(fp).convert("RGB"))
         out.append(arr.astype(np.uint8))
+    if len({a.shape for a in out}) > 1:
+        from PIL import Image
+
+        out = [np.asarray(Image.fromarray(a).resize((299, 299),
+                                                    Image.BILINEAR))
+               for a in out]
     return np.stack(out)
 
 
@@ -63,8 +73,11 @@ def main(argv=None):
     ap.add_argument("--prompts", default=None,
                     help="prompt csv/tsv aligned with sorted image names")
     ap.add_argument("--limit", type=int, default=0,
-                    help="score only the first N images (reference uses 3000 "
-                    "for CLIP, eval_scores.sh:28)")
+                    help="score only the first N images (all metrics)")
+    ap.add_argument("--clip_limit", type=int, default=0,
+                    help="cap ONLY the CLIP score at N images (the "
+                    "reference caps CLIP at 3000, eval_scores.sh:28, while "
+                    "FID/IS use the full set)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", default=None, help="write results json here too")
     args = ap.parse_args(argv)
@@ -119,8 +132,10 @@ def main(argv=None):
         from dgq_tpu.cli.gen4eval import read_prompts
         from dgq_tpu.eval.scores import clip_score
 
-        prompts = read_prompts(args.prompts)[: len(gen)]
-        results["clip_score"] = clip_score(list(gen), prompts, args.clip_model)
+        n = min(len(gen), args.clip_limit) if args.clip_limit else len(gen)
+        prompts = read_prompts(args.prompts)[:n]
+        results["clip_score"] = clip_score(
+            list(gen[:n]), prompts, args.clip_model)
 
     print(json.dumps(results))
     if args.out:

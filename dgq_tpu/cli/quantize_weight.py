@@ -103,6 +103,12 @@ def main():
         params, wqp, alphas = load_weight_only(args.resume_w, spec)
         alphas = alphas or None
         path = os.path.join(outpath, "cali_ckpt.pth")
+        if not args.use_aq:
+            # no later phase requested: re-save to the new run dir (the
+            # reference's resume_w end state, calibration.py:152-196)
+            save_weight_only(f"{path}_weight_only", params, wqp, spec,
+                             alphas=alphas)
+            log.info(f"resumed checkpoint re-saved to {path}_weight_only")
     else:
         scaler = Scaler.MINMAX if (args.fast or not args.cali) else Scaler.MSE
         log.info(f"weight scale init: {scaler} w{args.wq}")

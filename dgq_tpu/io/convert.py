@@ -6,9 +6,9 @@ Layout conventions (see dgq_tpu/models/layers.py):
   * per-out-channel weight QParams: torch (O,1,1,1)/(O,1) -> broadcastable
     against our layouts as (1,1,1,O)/(1,O)
 
-The reference checkpoint key structure (SURVEY.md §2.3):
+The reference checkpoint key structure (SURVEY.md §2.3; note original_w/
+original_b are plain tensors in the reference, never serialized):
   weight-only: {'weight': {'model.<path>.w', 'model.<path>.b',
-                           'model.<path>.original_w/original_b',
                            'model.<path>.wqtizer.delta/zero_point[/alpha]', ...}}
   activation:  {'act_{t}': {'model.<path>.aqtizer*.delta/zero_point'}}
 """

@@ -203,7 +203,8 @@ def quant_conv2d(
 
             _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             if fused_eligible(x.shape, p["w"].shape[-1], kh, kw, stride,
-                              padding, gqp):
+                              padding, gqp,
+                              dtype_bytes=jnp.dtype(x.dtype).itemsize):
                 c = x.shape[-1]
                 # mid axis is c-major (c, i, j); kernel wants (tap, channel)
                 dm = jnp.reshape(gqp.delta_mid, (c, kh * kw)).T

@@ -53,12 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 _WEIGHT_SET_BYTES = 4 * 1024 * 1024
 
 
-def _pick_block_o(kh: int, kw: int, cp: int, op: int):
+def _pick_block_o(kh: int, kw: int, cp: int, op: int, dtype_bytes: int = 2):
     """Largest Mosaic-legal O tile (128-multiple or full dim) whose full
     per-tap weight set fits the residency budget."""
     for cand in [op] + [x for x in (512, 256, 128)
                         if x < op and op % x == 0]:
-        if kh * kw * cp * cand * 2 <= _WEIGHT_SET_BYTES:
+        if kh * kw * cp * cand * dtype_bytes <= _WEIGHT_SET_BYTES:
             return cand
     return None
 
@@ -180,13 +180,13 @@ def group_quant_conv(
         dm = jnp.pad(dm, ((0, 0), (0, cp - c)), constant_values=1.0)
         zm = jnp.pad(zm, ((0, 0), (0, cp - c)))
 
-    bh = block_h
-    while h_out % bh or (b * (h_out // bh)) % 2:
-        bh //= 2
-        if bh == 0:
-            raise ValueError(f"group_quant_conv: cannot tile h_out={h_out}")
+    dtype_bytes = jnp.dtype(x.dtype).itemsize
+    bh = _pick_block_h(h_out, b, block_h)
+    if bh is None:
+        raise ValueError(f"group_quant_conv: cannot tile h_out={h_out} — "
+                         f"guard calls with fused_eligible()")
     h_blocks = h_out // bh
-    bo = _pick_block_o(kh, kw, cp, op)
+    bo = _pick_block_o(kh, kw, cp, op, dtype_bytes)
     if bo is None:
         raise ValueError(
             f"group_quant_conv: weight set for C={c} exceeds VMEM budget — "
@@ -245,11 +245,21 @@ def group_quant_conv(
     return out[..., :o]
 
 
+def _pick_block_h(h_out: int, b: int, block_h: int = 16):
+    """bh dividing h_out with an even total band count (the kernel's
+    fori_loop processes two bands per step); None when impossible."""
+    bh = block_h
+    while bh and (h_out % bh or (b * (h_out // bh)) % 2):
+        bh //= 2
+    return bh or None
+
+
 def fused_eligible(x_shape, o: int, kh: int, kw: int, stride: int,
-                   padding: int, gqp) -> bool:
+                   padding: int, gqp, dtype_bytes: int = 2) -> bool:
     """Static trace-time check: fused kernel supports stride-1 k×k convs with
     per-(tap,channel) mid-axis scales and scalar last-axis factors; the
-    resident weight set + band/stage buffers must fit VMEM."""
+    height must tile into an even band count, and the resident weight set +
+    band/stage buffers (allocated in the activation dtype) must fit VMEM."""
     from dgq_tpu.models.qconfig import GroupQParams
 
     if stride != 1:
@@ -261,14 +271,18 @@ def fused_eligible(x_shape, o: int, kh: int, kw: int, stride: int,
         return False
     if gqp.delta_last.shape[-1] != 1:  # spatial (per-L) groups not supported
         return False
+    h_out = h + 2 * padding - kh + 1
+    bh = _pick_block_h(h_out, b)
+    if bh is None:
+        return False
     cp = -(-c // 128) * 128
     op = -(-o // 128) * 128
-    bo = _pick_block_o(kh, kw, cp, op)
+    bo = _pick_block_o(kh, kw, cp, op, dtype_bytes)
     if bo is None:
         return False
     wp8 = -(-(w + 2 * padding) // 8) * 8
     w_out = w + 2 * padding - kw + 1
-    vmem = (kh * kw * cp * bo * 2             # resident weight set
-            + 2 * (16 + kh - 1) * wp8 * cp * 2  # band double-buffer
-            + 2 * 16 * w_out * bo * 2)          # output stages
+    vmem = (kh * kw * cp * bo * dtype_bytes            # resident weight set
+            + 2 * (bh + kh - 1) * wp8 * cp * dtype_bytes  # band double-buffer
+            + 2 * bh * w_out * bo * dtype_bytes)          # output stages
     return vmem < 12 * 1024 * 1024

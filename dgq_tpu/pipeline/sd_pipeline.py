@@ -134,6 +134,7 @@ class SDXLTurboPipeline:
             jnp.asarray(ids_l), jnp.asarray(ids_g),
             layers_l=self.layers_l, heads_l=self.heads_l,
             layers_g=self.layers_g, heads_g=self.heads_g,
+            eos_id=self.tokenizer_2.eos_token_id,
         )
 
     def __call__(self, prompts: list[str], steps: int = 4, **kw) -> np.ndarray:

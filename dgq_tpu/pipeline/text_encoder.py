@@ -40,6 +40,31 @@ def clip_attention(p, prefix, x, num_heads, causal_mask):
     return linear(p[f"{prefix}.out_proj"], out)
 
 
+def _encode_layers(params, input_ids, num_layers, num_heads, act,
+                   capture_penultimate: bool):
+    """Shared transformer stack; optionally captures the hidden state before
+    the last layer (HF ``output_hidden_states[-2]``)."""
+    # 'gelu' is the exact erf form (HF nn.GELU default), not jax's tanh approx
+    act_fn = quick_gelu if act == "quick_gelu" else (
+        lambda x: jax.nn.gelu(x, approximate=False))
+    tok = params["token_embedding"][input_ids]
+    t = input_ids.shape[-1]
+    x = tok + params["position_embedding"][:t]
+    mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    penult = None
+    for i in range(num_layers):
+        if capture_penultimate and i == num_layers - 1:
+            penult = x
+        pre = f"encoder.layers.{i}"
+        h = layer_norm(params[f"{pre}.layer_norm1"], x)
+        x = x + clip_attention(params, f"{pre}.self_attn", h, num_heads, mask)
+        h = layer_norm(params[f"{pre}.layer_norm2"], x)
+        h = linear(params[f"{pre}.mlp.fc1"], h)
+        h = act_fn(h)
+        x = x + linear(params[f"{pre}.mlp.fc2"], h)
+    return x, penult
+
+
 def clip_text_encode(
     params: dict,
     input_ids: jax.Array,
@@ -55,24 +80,23 @@ def clip_text_encode(
     layer norm — HF ``output_hidden_states[-2]``, which SDXL's encode_prompt
     feeds the UNet (vendored pipeline_stable_diffusion_xl.py:420-422).
     act: 'quick_gelu' (openai CLIP-L) or 'gelu' (OpenCLIP bigG)."""
-    # 'gelu' is the exact erf form (HF nn.GELU default), not jax's tanh approx
-    act_fn = quick_gelu if act == "quick_gelu" else (
-        lambda x: jax.nn.gelu(x, approximate=False))
-    tok = params["token_embedding"][input_ids]
-    t = input_ids.shape[-1]
-    x = tok + params["position_embedding"][:t]
-    mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
-    for i in range(num_layers - skip_last):
-        pre = f"encoder.layers.{i}"
-        h = layer_norm(params[f"{pre}.layer_norm1"], x)
-        x = x + clip_attention(params, f"{pre}.self_attn", h, num_heads, mask)
-        h = layer_norm(params[f"{pre}.layer_norm2"], x)
-        h = linear(params[f"{pre}.mlp.fc1"], h)
-        h = act_fn(h)
-        x = x + linear(params[f"{pre}.mlp.fc2"], h)
-    if final_norm and not skip_last:
+    if skip_last:
+        x, _ = _encode_layers(params, input_ids, num_layers - skip_last,
+                              num_heads, act, False)
+        return x
+    x, _ = _encode_layers(params, input_ids, num_layers, num_heads, act, False)
+    if final_norm:
         x = layer_norm(params["final_layer_norm"], x)
     return x
+
+
+def _eos_positions(input_ids: jax.Array, eos_id: int) -> jax.Array:
+    """First occurrence of the EOS token per row (HF CLIP pooling for
+    non-legacy eos ids); falls back to argmax when EOS is absent."""
+    is_eos = input_ids == eos_id
+    pos = jnp.argmax(is_eos, axis=-1)
+    return jnp.where(jnp.any(is_eos, axis=-1), pos,
+                     jnp.argmax(input_ids, axis=-1))
 
 
 def clip_text_pooled(
@@ -81,14 +105,15 @@ def clip_text_pooled(
     num_layers: int,
     num_heads: int,
     act: str = "gelu",
+    eos_id: int = 49407,
 ) -> jax.Array:
-    """Projected pooled output (B, proj_dim): final-normed hidden state at the
-    EOS token (argmax of ids — EOS 49407 is the vocab max for both SDXL
-    tokenizers), through text_projection. HF CLIPTextModelWithProjection's
-    ``text_embeds``, SDXL's pooled_prompt_embeds."""
+    """Projected pooled output (B, proj_dim): final-normed hidden state at
+    the first EOS token, through text_projection. HF
+    CLIPTextModelWithProjection's ``text_embeds``, SDXL's
+    pooled_prompt_embeds."""
     x = clip_text_encode(params, input_ids, num_layers, num_heads,
                          final_norm=True, act=act)
-    eos = jnp.argmax(input_ids, axis=-1)
+    eos = _eos_positions(input_ids, eos_id)
     pooled = x[jnp.arange(x.shape[0]), eos]
     return pooled @ params["text_projection"]
 
@@ -102,6 +127,7 @@ def sdxl_encode_prompt(
     heads_l: int = 12,
     layers_g: int = 32,
     heads_g: int = 20,
+    eos_id: int = 49407,
 ) -> tuple:
     """SDXL dual-encoder prompt encoding.
 
@@ -109,12 +135,16 @@ def sdxl_encode_prompt(
     penultimate hidden states of CLIP-L and OpenCLIP-bigG concatenated on the
     feature axis, plus bigG's projected pooled embedding — the
     (prompt_embeds, pooled_prompt_embeds) pair of the vendored
-    pipeline_stable_diffusion_xl.py:403-430."""
+    pipeline_stable_diffusion_xl.py:403-430. The bigG stack runs ONCE: the
+    penultimate state is captured in the same forward that produces the
+    pooled output."""
     h_l = clip_text_encode(params_l, ids_l, layers_l, heads_l,
                            act="quick_gelu", skip_last=1)
-    h_g = clip_text_encode(params_g, ids_g, layers_g, heads_g,
-                           act="gelu", skip_last=1)
-    pooled = clip_text_pooled(params_g, ids_g, layers_g, heads_g, act="gelu")
+    x_g, h_g = _encode_layers(params_g, ids_g, layers_g, heads_g, "gelu",
+                              capture_penultimate=True)
+    x_g = layer_norm(params_g["final_layer_norm"], x_g)
+    eos = _eos_positions(ids_g, eos_id)
+    pooled = x_g[jnp.arange(x_g.shape[0]), eos] @ params_g["text_projection"]
     return jnp.concatenate([h_l, h_g], axis=-1), pooled
 
 

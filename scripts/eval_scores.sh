@@ -16,5 +16,5 @@ GEN=${1:?usage: eval_scores.sh GEN_DIR [REF_STATS] [INCEPTION_CKPT] [CLIP_DIR] [
 ARGS=(--gen_dir "$GEN" --isc)
 [ -n "$2" ] && ARGS+=(--ref_stats "$2")
 [ -n "$3" ] && ARGS+=(--inception_ckpt "$3")
-[ -n "$4" ] && [ -n "$5" ] && ARGS+=(--clip_model "$4" --prompts "$5" --limit 3000)
+[ -n "$4" ] && [ -n "$5" ] && ARGS+=(--clip_model "$4" --prompts "$5" --clip_limit 3000)
 python -m dgq_tpu.cli.eval_scores "${ARGS[@]}"

@@ -102,7 +102,7 @@ def test_clip_with_projection_parity_vs_hf():
     ours_penult = clip_text_encode(params, jnp.asarray(ids), num_layers=3,
                                    num_heads=4, act="gelu", skip_last=1)
     ours_pooled = clip_text_pooled(params, jnp.asarray(ids), num_layers=3,
-                                   num_heads=4, act="gelu")
+                                   num_heads=4, act="gelu", eos_id=98)
     assert np.allclose(np.asarray(ours_penult), ref_penult, atol=2e-4), \
         np.abs(np.asarray(ours_penult) - ref_penult).max()
     assert np.allclose(np.asarray(ours_pooled), ref_pooled, atol=2e-4), \
