@@ -249,6 +249,7 @@ def bench_sd(args):
 
 
 def main():
+    t_start = time.perf_counter()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
     ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
@@ -301,15 +302,20 @@ def main():
         "group": args.group,
         "baseline_estimated": True,
     }
-    if args.group <= 1 and not args.headline_only:
+    elapsed = time.perf_counter() - t_start
+    if args.group <= 1 and not args.headline_only and elapsed < 22 * 60:
         # also measure the g=8 flagship-quality config (group convs via the
-        # tap-decomposed path + t2i softmax tricks)
+        # tap-decomposed path + t2i softmax tricks). Skipped when the
+        # headline already burned most of a plausible driver budget (cold
+        # compile + contended host) so the JSON line always gets printed.
         g8 = copy.deepcopy(args)
         g8.group = 8
         try:
             extra["g8_img_per_sec"] = round(bench_sd(g8), 4)
         except Exception as e:  # report the headline even if g8 fails
             extra["g8_error"] = repr(e)[:200]
+    elif args.group <= 1 and not args.headline_only:
+        extra["g8_skipped"] = f"headline took {elapsed:.0f}s"
 
     print(json.dumps({
         "metric": f"sd14_w{args.wq}a{args.aq}_images_per_sec_per_chip_{args.steps}step_512px",

@@ -124,6 +124,30 @@ def test_sdxl_encode_prompt_shapes():
     assert np.isfinite(np.asarray(pooled)).all()
 
 
+def test_sdxl_encode_prompt_single_pass_consistency():
+    """The fused bigG forward (penultimate captured alongside the pooled
+    output) must equal the two separate-function computations."""
+    from dgq_tpu.pipeline.text_encoder import clip_text_pooled
+
+    p_l = init_clip_text(jax.random.PRNGKey(2), vocab=50, width=32, layers=2)
+    p_g = init_clip_text(jax.random.PRNGKey(3), vocab=50, width=32, layers=3,
+                         proj_dim=24)
+    rs = np.random.RandomState(1)
+    ids = rs.randint(1, 48, (2, 77))
+    ids[:, 10] = 49  # EOS mid-sequence
+    ids[:, 11:] = 0
+    ids = jnp.asarray(ids)
+
+    ehs, pooled = sdxl_encode_prompt(p_l, p_g, ids, ids, layers_l=2,
+                                     heads_l=4, layers_g=3, heads_g=4,
+                                     eos_id=49)
+    h_g_ref = clip_text_encode(p_g, ids, 3, 4, act="gelu", skip_last=1)
+    pooled_ref = clip_text_pooled(p_g, ids, 3, 4, act="gelu", eos_id=49)
+    assert np.allclose(np.asarray(ehs[..., 32:]), np.asarray(h_g_ref),
+                       atol=1e-6)
+    assert np.allclose(np.asarray(pooled), np.asarray(pooled_ref), atol=1e-6)
+
+
 def test_vae_decoder_tiny():
     p = init_vae_decoder(jax.random.PRNGKey(0), base=32)
     latents = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
