@@ -135,6 +135,14 @@ def add_quant_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--t2i_real_time", action="store_true")
     ap.add_argument("--t2i_start_peak", action="store_true")
     ap.add_argument("--time_aware_aqtizer", action="store_true")
+    ap.add_argument("--group_impl", default="taps",
+                    choices=["taps", "fused", "unfold"],
+                    help="group-conv execution path (taps = fastest measured "
+                         "on v5e; fused = Pallas kernel; unfold = reference-"
+                         "verbatim im2col, used during group calibration)")
+    ap.add_argument("--pallas_attn", action="store_true",
+                    help="fused flash-attention kernel with in-kernel "
+                         "softmax quantization (TPU deploy path)")
 
 
 def qconfig_from_args(args, use_wq=True, use_aq=False):
@@ -145,4 +153,6 @@ def qconfig_from_args(args, use_wq=True, use_aq=False):
         use_wq=use_wq, use_aq=use_aq,
         t2i_log_quant=args.t2i_log_quant, t2i_real_time=args.t2i_real_time,
         t2i_start_peak=args.t2i_start_peak,
+        group_conv_impl=getattr(args, "group_impl", "taps"),
+        use_pallas_attention=getattr(args, "pallas_attn", False),
     )

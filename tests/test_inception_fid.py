@@ -164,6 +164,20 @@ def test_eval_scores_cli(tmp_path):
     assert "fid" in out and np.isfinite(out["fid"])
 
 
+def test_load_images_mixed_sizes(tmp_path):
+    """Reference-image dirs with mixed sizes resize per-image (pytorch-fid
+    behavior) instead of crashing np.stack."""
+    pil = pytest.importorskip("PIL.Image")
+    from dgq_tpu.cli.eval_scores import load_images
+
+    rs = np.random.RandomState(0)
+    for i, (h, w) in enumerate([(64, 48), (48, 64), (32, 32)]):
+        pil.fromarray(rs.randint(0, 256, (h, w, 3), np.uint8)).save(
+            tmp_path / f"{i}.png")
+    imgs = load_images(str(tmp_path))
+    assert imgs.shape == (3, 299, 299, 3)
+
+
 def test_inception_score_from_probs():
     rs = np.random.RandomState(0)
     # peaked, diverse predictions -> higher IS than uniform predictions
