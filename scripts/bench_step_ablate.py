@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from dgq_tpu.calib.act_calib import act_qpoint_names
 from dgq_tpu.calib.weight_calib import quantize_model_weights
 from dgq_tpu.models.qconfig import QConfig
