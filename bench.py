@@ -33,7 +33,10 @@ A6000_REF_SDXL_IMGS_PER_SEC = 0.40    # SDXL-turbo, 4-step 1024px (estimate)
 
 
 def bench_sdxl(args):
-    """SDXL-turbo W4A8 1024px (BASELINE config 5): 4-step Euler, guidance 0."""
+    """SDXL-turbo W4A8 1024px (BASELINE config 5): 4-step Euler, guidance 0.
+
+    --group N>1 runs the DGQ group-conv path on every k×k conv (the
+    reference ships SDXL g=16 configs too, README.md:69-70)."""
     import functools
 
     import jax
@@ -51,6 +54,7 @@ def bench_sdxl(args):
     dtype = jnp.bfloat16
     dev = jax.devices()[0]
     spec = sdxl_unet_spec()
+    use_group = args.group > 1
     cfg = QConfig(
         w_bits=args.wq, a_bits=args.aq, softmax_bits=args.aq,
         use_wq=True, use_aq=True,
@@ -59,6 +63,10 @@ def bench_sdxl(args):
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
     )
+    if use_group:
+        qstate_g, group_layers = _sd_group_qstate(spec, 0, False, dtype)
+        cfg = cfg.replace(group_conv_layers=group_layers,
+                          group_conv_impl=args.group_impl)
     t0 = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
@@ -72,8 +80,12 @@ def bench_sdxl(args):
     del params
     print(f"W4 quantize+fold: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype), jnp.asarray(128.0, dtype))
-                    for n in act_qpoint_names(spec)}, "sm": {}}
+    if use_group:
+        qstate = qstate_g
+    else:
+        qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype),
+                                   jnp.asarray(128.0, dtype))
+                        for n in act_qpoint_names(spec)}, "sm": {}}
     b = args.batch
     latents = jax.random.normal(jax.random.PRNGKey(1), (b, 128, 128, 4), dtype)
     ehs = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 2048), dtype)
@@ -101,6 +113,7 @@ def bench_sdxl(args):
         "value": round(b / best, 4),
         "unit": "img/s",
         "vs_baseline": round(b / best / A6000_REF_SDXL_IMGS_PER_SEC, 3),
+        "extra": {"group": args.group, "baseline_estimated": True},
     }))
 
 
