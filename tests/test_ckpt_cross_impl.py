@@ -58,7 +58,7 @@ def _mini_spec():
     ]
 
 
-def _build_ref_qnn(seed: int = 0):
+def _build_ref_qnn(seed: int = 0, aq_leaf_param: bool = False):
     """Reference QuantModel around a mini UNet with real SD module paths."""
     from diffusers_rewrite.sd import ResnetBlock2D
     from quant.quant_model import QuantModel
@@ -83,7 +83,8 @@ def _build_ref_qnn(seed: int = 0):
             return self.down_blocks[0].resnets[0](h, temb)
 
     wq_params = {"bits": 4, "channel_wise": True, "leaf_param": True}
-    aq_params = {"bits": 8, "channel_wise": False, "leaf_param": False}
+    aq_params = {"bits": 8, "channel_wise": False,
+                 "leaf_param": aq_leaf_param}
     softmax_aq_params = {"softmax_a_bit": 8, "t2i_log_quant": False,
                          "t2i_real_time": False, "t2i_start_peak": False,
                          "log_max_1": False}
@@ -146,6 +147,136 @@ def test_reference_save_our_load(tmp_path):
                          jnp.asarray(temb))
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
     assert np.allclose(ours, ref_out, atol=1e-5), np.abs(ours - ref_out).max()
+
+
+def _promote_aqtizers(qnn):
+    """Mirror cali_model_aq's pre-save promotion of aqtizer zero_points
+    (reference calibration_group_quantization.py:94-100)."""
+    from quant.quant_layer import UniformAffineQuantizer
+
+    for name, m in qnn.model.named_modules():
+        if "aqtizer" in name and isinstance(m, UniformAffineQuantizer) \
+                and m.delta is not None:
+            if not torch.is_tensor(m.zero_point):
+                m.zero_point = torch.nn.Parameter(
+                    torch.tensor(float(m.zero_point)))
+            elif not isinstance(m.zero_point, torch.nn.Parameter):
+                m.zero_point = torch.nn.Parameter(m.zero_point)
+
+
+def _collect_ref_act_dict(qnn):
+    """The reference's act_{t} collection verbatim
+    (calibration_group_quantization.py:102-107)."""
+    temp = {}
+    for name, m in qnn.model.named_modules():
+        if "aqtizer" in name and len(list(m.cpu().state_dict().keys())) == 2:
+            temp[f"model.{name}.delta"] = m.cpu().state_dict()["delta"]
+            temp[f"model.{name}.zero_point"] = m.cpu().state_dict()["zero_point"]
+    return temp
+
+
+def test_reference_act_ckpt_our_load(tmp_path):
+    """Reference activation checkpoint ('act_0' dict of aqtizer delta/zp)
+    -> our loader -> matching W8A8-quantized forward."""
+    from dgq_tpu.io.dgq_ckpt import load_merged
+
+    qnn = _build_ref_qnn(seed=3, aq_leaf_param=True)
+    qnn.set_quant_state(use_wq=True, use_aq=True)
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    temb = rng.randn(2, 1280).astype(np.float32)
+    with torch.no_grad():
+        qnn.model(torch.from_numpy(x), torch.from_numpy(temb))  # lazy init
+        ref_out = qnn.model(torch.from_numpy(x), torch.from_numpy(temb)).numpy()
+
+    _promote_qparams(qnn)
+    _promote_aqtizers(qnn)
+    path = str(tmp_path / "cali_ckpt_activation_w4a8g1.pth")
+    torch.save({"weight": qnn.state_dict(),
+                "act_0": _collect_ref_act_dict(qnn)}, path)
+
+    spec = _mini_spec()
+    params, wqp, alphas, per_t, group_layers = load_merged(path, spec)
+    assert "act_0" in per_t and not group_layers
+    cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
+                  disable_out_quant=False)
+    params_q = fold_weight_quant(params, wqp, spec, cfg)
+    qstate = per_t["act_0"]
+
+    from dgq_tpu.models.layers import quant_conv2d, resnet_block
+
+    def fwd(x_nhwc, te):
+        h = quant_conv2d(params_q["conv_in"], x_nhwc, "conv_in", qstate,
+                         cfg, 1, 1)
+        return resnet_block(params_q, "down_blocks.0.resnets.0", h, te,
+                            qstate, cfg, has_shortcut=False)
+
+    ours = fwd(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(temb))
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    assert np.allclose(ours, ref_out, atol=1e-4), np.abs(ours - ref_out).max()
+
+
+def test_our_act_ckpt_reference_load(tmp_path):
+    """Our activation-checkpoint writer -> the reference's shape-tolerant
+    act loader (calibration.py:267-291 semantics) -> same quantized
+    forward."""
+    from dgq_tpu.io.dgq_ckpt import save_act_ckpt
+    from dgq_tpu.quant.affine import QParams as OurQP
+
+    spec = _mini_spec()
+    names = ["conv_in", "down_blocks.0.resnets.0.conv1",
+             "down_blocks.0.resnets.0.time_emb_proj",
+             "down_blocks.0.resnets.0.conv2"]
+    rs = np.random.RandomState(5)
+    qstate = {"a": {n: OurQP(jnp.asarray(rs.uniform(0.02, 0.08)),
+                             jnp.asarray(float(rs.randint(100, 156))))
+                    for n in names}, "sm": {}}
+    path = str(tmp_path / "ours_act.pth")
+    save_act_ckpt(path, {"act_0": qstate}, spec)
+
+    qnn = _build_ref_qnn(seed=6, aq_leaf_param=True)
+    qnn.set_quant_state(use_wq=False, use_aq=True)
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    temb = rng.randn(2, 1280).astype(np.float32)
+    with torch.no_grad():
+        qnn.model(torch.from_numpy(x), torch.from_numpy(temb))  # lazy init
+    _promote_aqtizers(qnn)
+
+    # reference load_act_ckpt_with_difference_shape behavior: overwrite
+    # delta/zero_point data per module path (calibration.py:280-287)
+    act = torch.load(path, map_location="cpu")["act_0"]
+    loaded = set()
+    for name, m in qnn.named_modules():
+        if f"{name}.delta" in act:
+            m.delta.data = act[f"{name}.delta"].float().reshape(
+                m.delta.data.shape)
+            m.zero_point.data = act[f"{name}.zero_point"].float().reshape(
+                m.zero_point.data.shape)
+            loaded.add(name)
+    assert len(loaded) == 4, loaded
+
+    with torch.no_grad():
+        ref_out = qnn.model(torch.from_numpy(x), torch.from_numpy(temb)).numpy()
+
+    from dgq_tpu.models.layers import quant_conv2d, resnet_block
+
+    params = {}
+    sd = qnn.state_dict()
+    from dgq_tpu.io.dgq_ckpt import weight_ckpt_to_params
+
+    params, _, _ = weight_ckpt_to_params(sd, spec)
+    cfg = QConfig(a_bits=8, use_wq=False, use_aq=True,
+                  disable_out_quant=False)
+
+    def fwd(x_nhwc, te):
+        h = quant_conv2d(params["conv_in"], x_nhwc, "conv_in", qstate, cfg, 1, 1)
+        return resnet_block(params, "down_blocks.0.resnets.0", h, te,
+                            qstate, cfg, has_shortcut=False)
+
+    ours = fwd(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(temb))
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    assert np.allclose(ours, ref_out, atol=1e-4), np.abs(ours - ref_out).max()
 
 
 def test_our_save_reference_load(tmp_path):
