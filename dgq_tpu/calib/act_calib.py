@@ -291,6 +291,7 @@ def calibrate_activations(
     a_cali_data: tuple,
     interval: int,
     group_num: int = 0,
+    group_mode: str = "minmax",
     running_stat: bool = True,
     batch_size: int = 8,
     scaler: Scaler = Scaler.MINMAX,
@@ -328,7 +329,7 @@ def calibrate_activations(
         if group_num and group_num > 1:
             qstate, gl = group_calibrate_qstate(
                 params_wq, qstate, batches, cfg, spec, group_num,
-                unet_apply=unet_apply,
+                mode=group_mode, unet_apply=unet_apply,
             )
             group_layers = tuple(sorted(set(group_layers) | set(gl)))
         elif running_stat:

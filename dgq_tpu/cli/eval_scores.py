@@ -30,9 +30,21 @@ def load_images(path: str, limit: int = 0) -> np.ndarray:
     Mixed-size sets (the normal case for reference-image directories) are
     resized per-image to 299x299 bilinear — the same target the Inception
     preprocessing uses, mirroring pytorch-fid's per-image resize."""
+    def _order(f: str):
+        # gen4eval writes unpadded numeric names (0.png, 10.png, ...); a
+        # lexicographic sort would misalign images with the prompt file for
+        # >=10 images. Sort numerically when the stem is an int, keeping a
+        # lexicographic fallback for arbitrary names.
+        stem = os.path.splitext(f)[0]
+        try:
+            return (0, int(stem), f)
+        except ValueError:
+            return (1, 0, f)
+
     names = sorted(
-        f for f in os.listdir(path)
-        if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+        (f for f in os.listdir(path)
+         if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))),
+        key=_order,
     )
     if limit:
         names = names[:limit]

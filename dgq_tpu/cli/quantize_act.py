@@ -66,7 +66,7 @@ def main():
     )
     per_t, group_layers = calibrate_activations(
         params_q, spec, cfg, cali_data, interval=interval,
-        group_num=args.group_num,
+        group_num=args.group_num, group_mode=args.group_mode,
         batch_size=8 if args.model == "sd" else 4,
         scaler=Scaler.MINMAX, unet_apply=apply_fn, progress=log.info,
     )

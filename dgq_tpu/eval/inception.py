@@ -223,7 +223,11 @@ def preprocess_images(images: np.ndarray | jax.Array) -> jax.Array:
         x = x.astype(jnp.float32) / 255.0
     x = x.astype(jnp.float32)
     if x.shape[1:3] != (299, 299):
-        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+        # pytorch-fid resizes with F.interpolate(..., mode='bilinear'),
+        # which does NOT antialias; jax.image.resize defaults to
+        # antialias=True for downscaling — match the reference kernel.
+        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]),
+                             "bilinear", antialias=False)
     return 2.0 * x - 1.0
 
 

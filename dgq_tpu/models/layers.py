@@ -144,9 +144,16 @@ def group_quant_conv2d_taps(
     if dm.size == c * kh * kw:
         dm2 = jnp.reshape(dm, (c, kh * kw))
         zm2 = jnp.reshape(zm, (c, kh * kw))
-    else:  # size 1 (or per-tensor): broadcast across taps and channels
+    elif dm.size == c:  # per-channel delta: same scale for all taps of c
+        dm2 = jnp.reshape(dm, (c, 1))
+        zm2 = jnp.reshape(zm, (c, 1))
+    elif dm.size == 1:  # per-tensor: broadcast across taps and channels
         dm2 = jnp.broadcast_to(dm.reshape(-1)[:1], (1, 1))
         zm2 = jnp.broadcast_to(zm.reshape(-1)[:1], (1, 1))
+    else:
+        raise ValueError(
+            f"group conv delta size {dm.size} is none of C*kh*kw="
+            f"{c * kh * kw}, C={c}, or 1")
     if dl.size == ho * wo:
         dl4 = jnp.reshape(dl, (1, ho, wo, 1))
         zl4 = jnp.reshape(zl, (1, ho, wo, 1))

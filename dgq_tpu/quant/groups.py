@@ -105,11 +105,13 @@ def kmeans_group_qparams(
 
     from sklearn.cluster import KMeans
 
-    labels = KMeans(n_clusters=group_num, random_state=0).fit(channel_data).labels_
+    km = KMeans(n_clusters=group_num, random_state=0).fit(channel_data)
+    labels = km.labels_
 
     if mode == "mean":
-        from sklearn.cluster import KMeans as _KM  # centers path
-        centers = _KM(n_clusters=group_num, random_state=0).fit(channel_data).cluster_centers_
+        # cluster center = (mean min, mean max) of the cluster's channels
+        # (reference done_group_num 'mean' branch, quant_layer.py:371-373)
+        centers = km.cluster_centers_
     elif mode == "minmax":
         centers = []
         for i in range(group_num):

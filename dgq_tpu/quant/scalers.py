@@ -179,8 +179,12 @@ def logminmax_scale(x: jax.Array, level: int, symmetric: bool, always_zero: bool
 
 # -------------------------------------------------------------- kl / hist ---
 def kl_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> QParams:
-    """Histogram-KL clip search (reference quant_layer.py:94-137). Host-side."""
-    np_x = np.asarray(x, dtype=np.float64)
+    """Histogram-KL clip search (reference quant_layer.py:94-137). Host-side.
+
+    The histogram runs on the input dtype (float32 in practice) — upcasting
+    to float64 shifts bin edges enough to select a different clip ratio than
+    the reference."""
+    np_x = np.asarray(x)
     ref_hist, ref_bins = np.histogram(np_x, bins=level, density=True)
     sumd = np.sum(np.diff(ref_bins))
     smooth_ref = (ref_hist + 1e-5) / (1.0 + sumd * 1e-5)
@@ -219,8 +223,9 @@ def kl_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> Q
 
 
 def hist_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> QParams:
-    """0.9996-mass histogram clip (reference quant_layer.py:140-160). Host-side."""
-    np_x = np.asarray(x, dtype=np.float64)
+    """0.9996-mass histogram clip (reference quant_layer.py:140-160). Host-side.
+    Runs on the input dtype (see kl_scale)."""
+    np_x = np.asarray(x)
     data_max = max(-np.min(np_x), np.max(np_x))
     h, _ = np.histogram(np_x, bins=level, range=(0, data_max), density=True)
     h = h.astype(np.float32) / h.sum()

@@ -178,6 +178,21 @@ def test_load_images_mixed_sizes(tmp_path):
     assert imgs.shape == (3, 299, 299, 3)
 
 
+def test_load_images_numeric_order(tmp_path):
+    """gen4eval writes unpadded numeric names; load_images must return them in
+    numeric (prompt-file) order, not lexicographic — and --limit must take a
+    numeric prefix (0..N-1), not a lexicographic one."""
+    from dgq_tpu.cli.eval_scores import load_images
+
+    n = 12  # >= 11 so '10.npy' < '2.npy' lexicographically
+    for i in range(n):
+        np.save(tmp_path / f"{i}.npy", np.full((8, 8, 3), i, np.uint8))
+    imgs = load_images(str(tmp_path))
+    assert [int(imgs[i, 0, 0, 0]) for i in range(n)] == list(range(n))
+    first = load_images(str(tmp_path), limit=3)
+    assert [int(first[i, 0, 0, 0]) for i in range(3)] == [0, 1, 2]
+
+
 def test_inception_score_from_probs():
     rs = np.random.RandomState(0)
     # peaked, diverse predictions -> higher IS than uniform predictions

@@ -73,6 +73,60 @@ def test_mse_parity(seed, bits):
     assert np.isclose(float(qp.zero_point), float(rz), rtol=1e-5)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("bits", [4, 8])
+def test_kl_parity(seed, bits):
+    from quant.quant_layer import kl as ref_kl
+
+    x = rand(512, seed=seed, scale=3.0)
+    rd, rz = ref_kl(torch.from_numpy(x), False, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.KL)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-5)
+    rz = float(rz) if torch.is_tensor(rz) else float(rz)
+    assert np.isclose(float(qp.zero_point), rz, rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("bits", [4, 8])
+def test_hist_parity(seed, bits):
+    from quant.quant_layer import hist as ref_hist
+
+    x = rand(512, seed=seed, scale=2.0)
+    rd, rz = ref_hist(torch.from_numpy(x), False, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.HIST)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-5)
+    rz = float(rz) if torch.is_tensor(rz) else float(rz)
+    assert np.isclose(float(qp.zero_point), rz, rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("bits", [4])
+def test_omse_parity(seed, bits):
+    # bits=4 keeps the reference's 80 x level grid affordable in torch
+    from quant.quant_layer import omse as ref_omse
+
+    x = rand(256, seed=seed, scale=1.5)
+    rd, rz = ref_omse(torch.from_numpy(x), False, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.OMSE)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-5)
+    assert np.isclose(float(qp.zero_point), float(rz), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("bits", [6, 8])
+def test_logminmax_parity(seed, bits):
+    # reference logminmax returns only delta (quant_layer.py:41-61) and
+    # searches in float16 with positive-exponent reconstruction
+    from quant.quant_layer import logminmax as ref_logminmax
+
+    x = rand(4, 64, seed=seed, positive=True)
+    x = x / x.max()  # softmax-like, in (0, 1]
+    rd = ref_logminmax(torch.from_numpy(x), False, 2 ** bits, False)
+    qp = init_scale(jnp.asarray(x), bits, Scaler.LOGMINMAX)
+    assert np.isclose(float(qp.delta), float(rd), rtol=1e-3)
+    assert float(qp.zero_point) == 0.0
+
+
 @pytest.mark.parametrize("bits", [4, 8])
 @pytest.mark.parametrize("channel_wise", [False, True])
 def test_uniform_quantizer_forward_parity(bits, channel_wise):
@@ -168,6 +222,41 @@ def test_group_quant_parity_full_flow():
     for b in batches:
         stats = update_group_stats(stats, jnp.asarray(b))
     qp, labels, in_wise = kmeans_group_qparams(stats, group_num=4, level=256)
+
+    assert np.asarray(qp.delta).shape == tuple(ref_delta.shape)
+    assert np.allclose(np.asarray(qp.delta), ref_delta.numpy(), rtol=1e-5)
+    assert np.allclose(np.asarray(qp.zero_point), ref_zp.numpy(), rtol=1e-5)
+
+
+def test_group_quant_parity_mean_mode():
+    """done_group_num(mode='mean') parity: cluster centers instead of the
+    per-cluster min/max envelope (quant_layer.py:371-373)."""
+    from dgq_tpu.quant.groups import (
+        init_group_stats,
+        kmeans_group_qparams,
+        update_group_stats,
+    )
+
+    batches = [rand(2, 6, 16, seed=20 + i) for i in range(3)]
+    for b in batches:
+        b[..., 8:] *= 15.0
+
+    ref_q = UniformAffineQuantizer(bits=8, scaler=RefScaler.MINMAX, leaf_param=True)
+    with torch.no_grad():
+        _ = ref_q(torch.from_numpy(batches[0]))  # lazy init
+    ref_q.group_num = 4
+    with torch.no_grad():
+        for b in batches:
+            ref_q.record_min_max_ema(torch.from_numpy(b))
+    ref_q.delta = torch.nn.Parameter(torch.zeros(1))
+    ref_q.zero_point = torch.nn.Parameter(torch.zeros(1))
+    ref_delta, ref_zp = ref_q.done_group_num(4, "mean")
+
+    stats = init_group_stats(batches[0].shape)
+    for b in batches:
+        stats = update_group_stats(stats, jnp.asarray(b))
+    qp, labels, in_wise = kmeans_group_qparams(
+        stats, group_num=4, level=256, mode="mean")
 
     assert np.asarray(qp.delta).shape == tuple(ref_delta.shape)
     assert np.allclose(np.asarray(qp.delta), ref_delta.numpy(), rtol=1e-5)
