@@ -143,6 +143,23 @@ def add_quant_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--pallas_attn", action="store_true",
                     help="fused flash-attention kernel with in-kernel "
                          "softmax quantization (TPU deploy path)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize the multi-process JAX runtime before "
+                         "any device use (JAX_COORDINATOR_ADDRESS / SLURM "
+                         "env; the reference's linklink init, "
+                         "linklink/__init__.py:21-59)")
+
+
+def maybe_init_multihost(args) -> None:
+    """Call before first jax device use when --multihost was requested."""
+    if getattr(args, "multihost", False):
+        from dgq_tpu.parallel.mesh import init_multihost
+
+        if not init_multihost():
+            raise RuntimeError(
+                "--multihost set but no coordinator found: set "
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID "
+                "or run under SLURM/OpenMPI")
 
 
 def qconfig_from_args(args, use_wq=True, use_aq=False):

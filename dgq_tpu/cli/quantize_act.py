@@ -40,6 +40,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dgq_tpu.cli.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     outpath, log = setup_logging(args.outdir)
     from dgq_tpu.calib.act_calib import calibrate_activations
     from dgq_tpu.calib.weight_calib import fold_weight_quant

@@ -463,6 +463,7 @@ def attention(
             scale,
             sm_mode=sm_mode, sm_bits=cfg.softmax_bits, sm_delta=sm_delta,
             start_peak=start_peak and cfg.use_aq,
+            interpret=jax.default_backend() == "cpu",
         )
         out = jnp.reshape(out, (b, num_heads, t, head_dim))
         out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)

@@ -27,8 +27,54 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host (multi-process) JAX init — the counterpart of the
+    reference's linklink SLURM/TCP init (/root/reference/linklink/__init__.py:21-59).
+
+    Resolution order mirrors linklink's two paths:
+      * explicit args or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        JAX_PROCESS_ID env vars (the reference's dist_init_slurm MASTER
+        addr/port equivalent),
+      * otherwise `jax.distributed.initialize()` auto-detection (SLURM_*,
+        OMPI_* — the reference's dist_init path).
+
+    Returns True when a multi-process runtime was initialized; False for the
+    single-host no-op (no coordinator configured anywhere). After a True
+    return, `jax.devices()` spans all processes and `make_mesh` builds a
+    global mesh — the same model code runs unchanged, with GSPMD collectives
+    riding ICI within a slice and DCN across.
+    """
+    import os
+
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes if num_processes is not None else (
+        int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_NUM_PROCESSES" in os.environ else None)
+    pid = process_id if process_id is not None else (
+        int(os.environ["JAX_PROCESS_ID"])
+        if "JAX_PROCESS_ID" in os.environ else None)
+    if coord is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=nproc, process_id=pid)
+        return True
+    if any(v in os.environ for v in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")):
+        jax.distributed.initialize()  # auto-detected cluster environment
+        return True
+    return False
+
+
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None,
+              multihost: bool = False) -> Mesh:
+    """Build the (dp, tp) mesh. With multihost=True, initialize the
+    multi-process runtime first (env-configured; see init_multihost) so the
+    mesh spans every process's devices."""
+    if multihost:
+        init_multihost()
     devs = np.asarray(devices if devices is not None else jax.devices())
     if dp is None:
         dp = len(devs) // tp
