@@ -13,9 +13,11 @@ throughput does not depend on weight values.
 
 vs_baseline: the reference repo records no wall-clock numbers (BASELINE.md).
 We compare against an estimated NVIDIA A6000 fp16 SD v1.4 throughput of
-0.20 img/s for 50-step 512px single-image generation (~10 UNet it/s with CFG)
-— the reference's fake-quant torch path is slower than this, so the estimate
-is conservative in the reference's favor.
+0.20 img/s for 50-step 512px single-image generation (~10 UNet it/s with CFG).
+The denominator is anchored in BASELINE.md ("Baseline denominator") by
+published A6000 SD it/s figures and a FLOPs x utilization cross-check; the
+reference's fake-quant torch path is slower than fp16, so the estimate is
+conservative in the reference's favor.
 """
 import argparse
 import json
@@ -62,6 +64,7 @@ def bench_sdxl(args):
         use_pallas_attention=not args.no_pallas_attn,
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
+        int8_impl=args.int8_impl,
     )
     if use_group:
         qstate_g, group_layers = _sd_group_qstate(spec, 0, False, dtype)
@@ -157,6 +160,7 @@ def bench_sd(args):
         use_pallas_attention=not args.no_pallas_attn,
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
+        int8_impl=args.int8_impl,
     )
     t_slots = args.steps
     time_aware = not args.no_time_aware
@@ -254,6 +258,11 @@ def main():
                          "barrier costs more than int8 compute saves "
                          "(g=1: 0.89 bf16 vs 0.75 img/s int8)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--int8-impl", default="xla", choices=["pallas", "xla"],
+                    help="int8 matmul execution with --int8: 'xla' = native "
+                         "s8 dot_general, shape-gated to where it measures "
+                         "faster (64x64-level projections); 'pallas' = the "
+                         "fused kernel (fusion-barrier-bound, slower e2e)")
     ap.add_argument("--int8-conv", action="store_true", default=False,
                     help="also run k×k convs as XLA s8 convs (measured "
                          "slower than bf16 on v5e; off by default)")

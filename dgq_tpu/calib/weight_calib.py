@@ -159,6 +159,10 @@ def attach_int8_packed(
                 continue
             p["w_q8"], p["w_d"], p["w_z"] = (
                 jnp.asarray(codes), jnp.asarray(d), jnp.asarray(zr))
+            # per-out-channel code sums for the XLA int8 path's analytic
+            # zero-point correction (models/layers._int8_matmul_xla)
+            p["w_ksum"] = jnp.asarray(
+                codes.astype(np.int32).sum(axis=0).astype(np.float32))
         else:
             if not cfg.use_int8_conv:
                 continue  # k×k codes only help the s8-conv path

@@ -100,6 +100,17 @@ class QConfig:
     # correction (models/layers._int8_conv). Separately gated from the matmul
     # kernel so each can be benchmarked/enabled on its own.
     use_int8_conv: bool = False
+    # int8 matmul execution:
+    #   'pallas' — the fused Pallas kernel (quantize in-kernel; measured
+    #              slower end-to-end on v5e: the custom call is a fusion
+    #              barrier).
+    #   'xla'    — XLA-native s8xs8->s32 dot_general with analytic zero-point
+    #              corrections; the activation quantize fuses into its
+    #              producer and HBM traffic halves. Applied only where it
+    #              measures faster (M >= 16384 rows, K <= 512 reduction —
+    #              the 64x64-level projections/FF-in); other shapes fall back
+    #              to fused bf16 fake-quant.
+    int8_impl: str = "pallas"
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

@@ -75,6 +75,46 @@ def test_int8_model_path_matches_fake_quant(monkeypatch):
         np.abs(np.asarray(out_int8) - np.asarray(out_fake)).max()
 
 
+def test_int8_xla_matches_fake_quant():
+    """int8_impl='xla' (native s8 dot_general + analytic zero-point
+    correction) == fake-quant path, and the M/K shape gate falls back to
+    fake-quant for small inputs."""
+    from dgq_tpu.models import layers as L
+
+    rng = np.random.RandomState(2)
+    name = "L"
+    spec = [(name, "linear", (64, 32, True))]
+    params = {name: {
+        "w": jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.randn(32).astype(np.float32)),
+    }}
+    cfg = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
+                  use_int8_matmul=True, int8_impl="xla")
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, cfg)
+    pq = attach_int8_packed(pq, wqp, spec, cfg)
+    assert "w_ksum" in pq[name]
+
+    m = L._INT8_XLA_MIN_M
+    x = jnp.asarray(rng.randn(m, 64).astype(np.float32))
+    xqp = init_scale(x, 8, Scaler.MINMAX)
+    qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point)}, "sm": {}}
+
+    out_int8 = quant_linear(pq[name], x, name, qstate, cfg)
+    out_fake = quant_linear(pq[name], x, name, qstate,
+                            cfg.replace(use_int8_matmul=False))
+    assert np.allclose(np.asarray(out_int8), np.asarray(out_fake),
+                       atol=2e-3), \
+        np.abs(np.asarray(out_int8) - np.asarray(out_fake)).max()
+
+    # below the gate: must produce the identical fake-quant program
+    xs = x[:32]
+    out_small = quant_linear(pq[name], xs, name, qstate, cfg)
+    out_small_fake = quant_linear(pq[name], xs, name, qstate,
+                                  cfg.replace(use_int8_matmul=False))
+    assert np.array_equal(np.asarray(out_small), np.asarray(out_small_fake))
+
+
 def test_group_scales_stay_on_fake_path():
     """Group activation params must NOT take the int8 kernel (delta not scalar)."""
     from dgq_tpu.models.qconfig import GroupQParams
