@@ -81,7 +81,16 @@ def main(argv=None):
     ap.add_argument("--isc", action="store_true", help="also compute IS "
                     "(needs the checkpoint's fc head)")
     ap.add_argument("--clip_model", default=None,
-                    help="local CLIP snapshot dir for CLIP score")
+                    help="local transformers CLIP snapshot dir (torchmetrics-"
+                         "style 2.5x clamped score)")
+    ap.add_argument("--open_clip_ckpt", default=None,
+                    help="open_clip checkpoint file (e.g. ViT-g-14 "
+                         "laion2b_s34b_b88k open_clip_pytorch_model.bin) — "
+                         "the reference's exact CLIP protocol "
+                         "(eval_clip_score.py:26-28); needs --tokenizer")
+    ap.add_argument("--tokenizer", default=None,
+                    help="local CLIP tokenizer dir (BPE vocab) for "
+                         "--open_clip_ckpt")
     ap.add_argument("--prompts", default=None,
                     help="prompt csv/tsv aligned with sorted image names")
     ap.add_argument("--limit", type=int, default=0,
@@ -140,14 +149,21 @@ def main(argv=None):
             results["inception_score"] = is_mean
             results["inception_score_std"] = is_std
 
-    if args.clip_model and args.prompts:
+    if args.prompts and (args.clip_model or args.open_clip_ckpt):
         from dgq_tpu.cli.gen4eval import read_prompts
-        from dgq_tpu.eval.scores import clip_score
 
         n = min(len(gen), args.clip_limit) if args.clip_limit else len(gen)
         prompts = read_prompts(args.prompts)[:n]
-        results["clip_score"] = clip_score(
-            list(gen[:n]), prompts, args.clip_model)
+        if args.open_clip_ckpt:
+            from dgq_tpu.eval.open_clip import clip_score_openclip
+
+            results["clip_score_openclip"] = clip_score_openclip(
+                list(gen[:n]), prompts, args.open_clip_ckpt, args.tokenizer)
+        if args.clip_model:
+            from dgq_tpu.eval.scores import clip_score
+
+            results["clip_score"] = clip_score(
+                list(gen[:n]), prompts, args.clip_model)
 
     print(json.dumps(results))
     if args.out:
