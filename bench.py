@@ -269,7 +269,7 @@ def main():
     ap.add_argument("--group", type=int, default=1,
                     help="DGQ group number (g>1 runs the group-conv path)")
     ap.add_argument("--group-impl", default="taps",
-                    choices=["taps", "fused", "unfold"],
+                    choices=["taps", "fused", "unfold", "im2col"],
                     help="group-conv execution. Measured v5e (g=8 50-step): "
                          "taps 0.646 img/s > fused Pallas kernel 0.61 > "
                          "unfold 0.36 — XLA's fused tap decomposition wins "

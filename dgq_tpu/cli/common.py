@@ -136,7 +136,7 @@ def add_quant_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--t2i_start_peak", action="store_true")
     ap.add_argument("--time_aware_aqtizer", action="store_true")
     ap.add_argument("--group_impl", default="taps",
-                    choices=["taps", "fused", "unfold"],
+                    choices=["taps", "fused", "unfold", "im2col"],
                     help="group-conv execution path (taps = fastest measured "
                          "on v5e; fused = Pallas kernel; unfold = reference-"
                          "verbatim im2col, used during group calibration)")

@@ -102,36 +102,11 @@ def conv2d_unfolded(
     return jnp.reshape(y, (b, ho, wo, o))
 
 
-def group_quant_conv2d_taps(
-    p,
-    x: jax.Array,
-    gqp,
-    cfg: QConfig,
-    stride: int = 1,
-    padding: int = 0,
-) -> jax.Array:
-    """Group-quantized conv without materializing the im2col tensor.
-
-    The reference applies group scales to the unfolded input (B, C*kh*kw, L)
-    (quant_layer.py:630-657): tap (c, i, j) at output location l is quantized
-    with delta_mid[c*kh*kw + i*kw + j] * delta_last[l]. The same input pixel is
-    quantized differently per tap, which is why the reference materializes the
-    unfold — a 9x HBM activation blow-up for 3x3 convs.
-
-    Here the conv is decomposed by tap: for each (i, j), the strided slice of
-    the padded input is fake-quantized with that tap's scales (an elementwise
-    VPU op XLA fuses into the matmul's producer) and contracted against
-    w[i, j] as a 1x1 matmul on the MXU. Summation over taps reproduces the
-    unfold result exactly (same per-element quantization; f32 accumulation).
-    """
+def _group_tap_scales(gqp, c, kh, kw, ho, wo):
+    """Group scales -> per-tap broadcastable forms: (dm2, zm2) of shape
+    (C or 1, kh*kw or 1) over the c-major unfolded mid axis, and (dl4, zl4)
+    of shape (1, H', W', 1) or scalar-4d over output locations."""
     from dgq_tpu.models.qconfig import GroupQParams
-    from dgq_tpu.quant.affine import QParams as _QP, fake_quant as _fq
-
-    kh, kw, c, o = p["w"].shape
-    b, h, w, _ = x.shape
-    ho = (h + 2 * padding - kh) // stride + 1
-    wo = (w + 2 * padding - kw) // stride + 1
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
 
     if isinstance(gqp, GroupQParams):
         dm, zm = gqp.delta_mid, gqp.zp_mid
@@ -160,8 +135,43 @@ def group_quant_conv2d_taps(
     else:
         dl4 = dl.reshape(-1)[:1].reshape(1, 1, 1, 1)
         zl4 = zl.reshape(-1)[:1].reshape(1, 1, 1, 1)
+    return dm2, zm2, dl4, zl4
 
-    acc = jnp.zeros((b, ho, wo, o), jnp.float32)
+
+def group_quant_conv2d_im2col(
+    p,
+    x: jax.Array,
+    gqp,
+    cfg: QConfig,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Group-quantized conv as ONE tap-major quantized im2col + ONE matmul.
+
+    Same per-element quantization as `group_quant_conv2d_taps` (the exact
+    reference semantics, quant_layer.py:630-657), different dataflow: the
+    kh*kw fake-quantized tap slices are concatenated along the channel axis
+    in (i, j, c) order — one fused XLA write — and contracted against the
+    tap-major weight reshape (kh*kw*C, O) in a single MXU matmul.
+
+    Why: the taps decomposition is accumulator-bound — kh*kw separate
+    matmuls each round-trip the (B,H',W',O) f32 accumulator through HBM
+    (~750 MB/conv at the 64x64 level), while this form materializes one
+    (B,H',W',kh*kw*C) bf16 buffer (~2.5x less traffic) and keeps the
+    accumulation inside a single dot's tiles. No layout churn: NHWC slices
+    concat natively on the minor axis, and HWIO.reshape(-1, O) is already
+    (i, j, c)-major.
+    """
+    from dgq_tpu.quant.affine import QParams as _QP, fake_quant as _fq
+
+    kh, kw, c, o = p["w"].shape
+    b, h, w, _ = x.shape
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    dm2, zm2, dl4, zl4 = _group_tap_scales(gqp, c, kh, kw, ho, wo)
+
+    cols = []
     for i in range(kh):
         for j in range(kw):
             xs = jax.lax.slice(
@@ -173,11 +183,104 @@ def group_quant_conv2d_taps(
             ij = i * kw + j
             d_ij = dm2[:, ij % dm2.shape[1]].reshape(1, 1, 1, -1) * dl4
             z_ij = zm2[:, ij % zm2.shape[1]].reshape(1, 1, 1, -1) + zl4
-            xq = _fq(xs, _QP(d_ij, z_ij), cfg.a_bits)
+            cols.append(_fq(xs, _QP(d_ij, z_ij), cfg.a_bits))
+    big = jnp.concatenate(cols, axis=-1)  # (B, H', W', kh*kw*C)
+    w2 = jnp.reshape(p["w"], (kh * kw * c, o))  # (i, j, c)-major, free view
+    y = jnp.einsum(
+        "bhwk,ko->bhwo", big, w2.astype(big.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def group_quant_conv2d_taps(
+    p,
+    x: jax.Array,
+    gqp,
+    cfg: QConfig,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Group-quantized conv without materializing the im2col tensor.
+
+    The reference applies group scales to the unfolded input (B, C*kh*kw, L)
+    (quant_layer.py:630-657): tap (c, i, j) at output location l is quantized
+    with delta_mid[c*kh*kw + i*kw + j] * delta_last[l]. The same input pixel is
+    quantized differently per tap, which is why the reference materializes the
+    unfold — a 9x HBM activation blow-up for 3x3 convs.
+
+    Here the conv is decomposed by tap: for each (i, j), the strided slice of
+    the padded input is quantized to codes with that tap's scales (an
+    elementwise VPU op XLA fuses into the matmul's producer) and contracted
+    against w[i, j] as a 1x1 matmul on the MXU. Summation over taps reproduces
+    the unfold result exactly (same per-element quantization; f32
+    accumulation).
+
+    The op is VPU-bound on the per-tap quantize arithmetic (measured v5e:
+    1.72 ms at 8x64x64x320, ~= 9 taps x ~7 ops/elem at VPU rate), so the
+    dequantize half of fake-quant is removed algebraically — only the
+    integer-code computation touches input-sized data:
+
+        fq(x)·w = dl[l] * (q @ (dm·w) - C1 - zl[l]·C2),   per tap ij:
+        q = clip(round(x / (dm·dl)) + zm + zl, 0, 2^b-1)
+        C1 = sum_ij (dm·zm)[:,ij] @ w[i,j],  C2 = sum_ij dm[:,ij] @ w[i,j]
+
+    The dm fold into w and the C1/C2 corrections are weight-sized (negligible
+    next to the 9x input-sized tap reads); dl factors out of the tap sum
+    entirely. STE gradients are identical to the fake-quant form inside the
+    clip region (d/dx = w) and zero outside it.
+
+    The codes are cast to the input dtype (bf16) before the matmul: integer
+    codes in [0, 255] are exactly representable in bf16's 8-bit mantissa, and
+    the MXU runs bf16 x bf16 -> f32 at 2x the f32 rate. Measured v5e
+    (chained-op, ms/conv): 1.45 vs 1.98 fake-quant at 8x64x64x320, 1.13 vs
+    1.35 at 8x32x32x640; an f32-codes variant of the same fold measured no
+    faster than fake-quant (2.01 / 1.21) — the win needs both the algebraic
+    dequant removal AND the bf16 MXU feed.
+    """
+    from dgq_tpu.quant.affine import quant_bounds, ste_round
+
+    kh, kw, c, o = p["w"].shape
+    b, h, w, _ = x.shape
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    dm2, zm2, dl4, zl4 = _group_tap_scales(gqp, c, kh, kw, ho, wo)
+    nb, pb = quant_bounds(cfg.a_bits, False, False)
+
+    # fold dm into the weight; precompute the zero-point corrections
+    ncols = dm2.shape[1]
+    taps = kh * kw
+    # (taps, c, 1) per-tap channel scales / zero points
+    dm_t = jnp.transpose(dm2[:, jnp.arange(taps) % ncols])[:, :, None]
+    zm_t = jnp.transpose(zm2[:, jnp.arange(taps) % ncols])[:, :, None]
+    wf = jnp.reshape(p["w"], (taps, c, o)).astype(jnp.float32)
+    ws_f = wf * dm_t                               # (taps, c, o) f32
+    c2 = jnp.sum(ws_f, axis=(0, 1))                # (o,)
+    c1 = jnp.sum(ws_f * zm_t, axis=(0, 1))         # (o,)
+    ws = ws_f.astype(x.dtype)                      # bf16 MXU feed
+
+    acc = jnp.zeros((b, ho, wo, o), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            xs = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (b, i + (ho - 1) * stride + 1, j + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            ij = i * kw + j
+            d_ij = dm2[:, ij % ncols].reshape(1, 1, 1, -1) * dl4
+            z_ij = zm2[:, ij % ncols].reshape(1, 1, 1, -1) + zl4
+            q = jnp.clip(ste_round(xs.astype(jnp.float32) / d_ij) + z_ij,
+                         nb, pb).astype(x.dtype)
             acc = acc + jnp.einsum(
-                "bhwc,co->bhwo", xq, p["w"][i, j].astype(xq.dtype),
+                "bhwc,co->bhwo", q, ws[ij],
                 preferred_element_type=jnp.float32,
             )
+    acc = dl4 * (acc - c1 - zl4 * c2)
     if p.get("b") is not None:
         acc = acc + p["b"]
     return acc.astype(x.dtype)
@@ -227,6 +330,9 @@ def quant_conv2d(
         if cfg.group_conv_impl == "taps" and gqp is not None:
             _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
+        if cfg.group_conv_impl == "im2col" and gqp is not None:
+            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
+            return group_quant_conv2d_im2col(p, x, gqp, cfg, stride, padding)
         b, h, w, _ = x.shape
         ho = (h + 2 * padding - kh) // stride + 1
         wo = (w + 2 * padding - kw) // stride + 1

@@ -84,6 +84,10 @@ class QConfig:
     #              + kh*kw accumulated 1x1 matmuls; same math as the reference
     #              unfold path but never materializes the (B, C*kh*kw, L)
     #              im2col tensor in HBM (9x activation traffic for 3x3 convs).
+    #   'im2col' — tap-major quantized im2col: one fused concat of the
+    #              fake-quantized tap slices along the channel axis + one
+    #              K=kh*kw*C matmul; same quantization math as 'taps' with
+    #              single-buffer dataflow (no multi-pass f32 accumulator).
     #   'unfold' — materialized im2col, exactly mirroring the reference's
     #              input_unfolded_pseudo_conv2d (quant_layer.py:630-657);
     #              required during group *calibration* (stats are collected on

@@ -150,6 +150,83 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+# ------------------------------------------- merged static-delta quant ------
+def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, *,
+                         scale, s_valid, block_s, sm_mode, sm_bits,
+                         start_peak):
+    """Stats + quantized accumulation in ONE program (static-delta modes).
+
+    The two-pass split exists because `log2_real_time` needs a GLOBAL
+    reduction (delta = 1/min(l) over every row) between the passes. The
+    static-delta modes — 'uniform' (the g=1 policy) and calibrated 'log2' —
+    have no cross-tile dependency, so both loops run back-to-back in one
+    kernel over the same VMEM-resident K/V: one pallas_call instead of two,
+    no HBM re-read of Q/K between phases, no m/l round-trip through HBM.
+    Numerics are identical to the two-pass form (same f32 formulas).
+    """
+    q = q_ref[0]
+    delta = delta_ref[0, 0]
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // block_s
+    level = 2 ** sm_bits
+    needs_mask = s_valid < s_total
+    inv_ln2 = 1.4426950408889634
+    bt = q.shape[0]
+
+    def stats_body(j, carry):
+        m, l = carry
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
+        return m_new, l
+
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, n_blocks, stats_body, (m0, l0))
+
+    inv_l = 1.0 / l
+    a_row = jnp.log2(delta) + (m + jnp.log(l)) * inv_ln2  # log2 mode constant
+
+    def accum_body(j, acc):
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = None
+        if needs_mask or start_peak:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        if needs_mask:
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        if sm_mode == "log2":
+            qexp = jnp.clip(jnp.round(a_row - s * inv_ln2), 0.0, float(level - 1))
+            qi = qexp.astype(jnp.int32)
+            pq = jax.lax.bitcast_convert_type(
+                jnp.maximum(127 - qi, 0) << 23, jnp.float32)
+            pq = jnp.where(qi > 126, 0.0, pq) * delta
+        else:  # uniform
+            p = jnp.exp(s - m) * inv_l
+            pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
+        if start_peak:
+            pq = jnp.where(col == 0, jnp.exp(s - m) * inv_l, pq)
+        if needs_mask:
+            pq = jnp.where(col < s_valid, pq, 0.0)
+        v = v_ref[0, pl.ds(j * block_s, block_s), :]
+        return acc + jax.lax.dot_general(
+            pq.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc0 = jnp.zeros((bt, v_ref.shape[2]), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_blocks, accum_body, acc0)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 # ------------------------------------------------------- single-pass FP -----
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
     q = q_ref[0]
@@ -241,6 +318,33 @@ def fused_attention(
         )(
             qp.reshape(bh, tp, dp), kp.reshape(bh, sp, dp), vp.reshape(bh, sp, dp)
         )
+        return out[:, :t, :d]
+
+    if sm_mode in ("log2", "uniform"):
+        # static delta: no cross-tile dependency -> one merged kernel
+        assert sm_delta is not None, "static softmax quant needs sm_delta"
+        delta_arr = jnp.reshape(sm_delta, (1, 1)).astype(jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(
+                _static_quant_kernel, **common, sm_mode=sm_mode,
+                sm_bits=sm_bits, start_peak=start_peak,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=6 * bh * tp * sp * dp,
+                bytes_accessed=2 * bh * (tp + 2 * sp) * dp,
+                transcendentals=2 * bh * tp * sp,
+            ),
+        )(qp, kp, vp, delta_arr)
         return out[:, :t, :d]
 
     # ---- quantized path: phase 1 stats ----

@@ -15,6 +15,8 @@ measured on v5e (SD g=8 flagship, 50-step 512px, img/s):
   * pallas, grid (B, H), weights streamed per program: full
     weight set re-read B*H/BH times                           0.60
   * pallas, weight-stationary (this file)                     0.61
+  * tap-major quantized im2col (one fused concat + one K=9C
+    matmul; per-conv 2.41 vs taps 1.72 ms at 8x64x64x320)     loses/conv
 
 This version is weight-stationary: the grid is (O/BO,) alone. Each program
 holds ALL kh*kw weight tiles for its output columns in VMEM (read from HBM

@@ -40,9 +40,18 @@ def _attn(p, prefix, x):
     q = jnp.dot(x, p[f"{prefix}.to_q"]["w"]) + p[f"{prefix}.to_q"]["b"]
     k = jnp.dot(x, p[f"{prefix}.to_k"]["w"]) + p[f"{prefix}.to_k"]["b"]
     v = jnp.dot(x, p[f"{prefix}.to_v"]["w"]) + p[f"{prefix}.to_v"]["b"]
-    scores = jnp.einsum("btc,bsc->bts", q, k) * (c ** -0.5)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-    o = jnp.einsum("bts,bsc->btc", attn, v)
+    if h * w >= 1024:
+        # single-head attention over h*w tokens: at 512px decode this is a
+        # (B, 4096, 4096) f32 softmax — 64 MB/image materialized in HBM.
+        # The flash kernel keeps it blockwise in VMEM (interpret on CPU).
+        from dgq_tpu.ops.pallas.attention import fused_attention
+
+        o = fused_attention(q, k, v, c ** -0.5, sm_mode="none",
+                            interpret=jax.default_backend() == "cpu")
+    else:
+        scores = jnp.einsum("btc,bsc->bts", q, k) * (c ** -0.5)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        o = jnp.einsum("bts,bsc->btc", attn, v)
     o = jnp.dot(o, p[f"{prefix}.to_out.0"]["w"]) + p[f"{prefix}.to_out.0"]["b"]
     return jnp.reshape(o, (b, h, w, c)) + res
 

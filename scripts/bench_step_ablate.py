@@ -76,6 +76,10 @@ def main():
          cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
                       t2i_start_peak=True, use_pallas_attention=True), qstate),
         ("pallas attn, no aq", QConfig(use_pallas_attention=True), None),
+        # the g=1 headline policy: t2i tricks OFF, softmax quant is the
+        # static-delta uniform quantizer -> merged single-kernel attention
+        ("g1 deploy (pallas, uniform sm)",
+         cfgq.replace(use_pallas_attention=True), qstate),
         # deploy but with the attention-input quantizers (aqtizer_q/k/v)
         # removed — sizes the cost of quantizing q/k/v OUTSIDE the kernel
         ("deploy, no qkv aq",

@@ -294,7 +294,13 @@ def test_group_taps_matches_unfold():
             out_unf = quant_conv2d(params[name], x, name, qstate,
                                    cfg.replace(group_conv_impl="unfold"),
                                    stride, padding)
-            assert out_taps.shape == out_unf.shape
+            out_i2c = quant_conv2d(params[name], x, name, qstate,
+                                   cfg.replace(group_conv_impl="im2col"),
+                                   stride, padding)
+            assert out_taps.shape == out_unf.shape == out_i2c.shape
             assert np.allclose(np.asarray(out_taps), np.asarray(out_unf),
                                atol=1e-4), \
                 (label, stride, np.abs(np.asarray(out_taps) - np.asarray(out_unf)).max())
+            assert np.allclose(np.asarray(out_i2c), np.asarray(out_unf),
+                               atol=1e-4), \
+                (label, stride, np.abs(np.asarray(out_i2c) - np.asarray(out_unf)).max())

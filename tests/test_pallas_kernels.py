@@ -111,6 +111,22 @@ class TestFusedAttention:
                               interpret=True)
         assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
+    @pytest.mark.parametrize("mode", ["log2", "uniform"])
+    def test_start_peak_static_delta(self, mode):
+        """start_peak through the merged single-kernel static-delta path."""
+        t, s, d = 32, 77, 40
+        q = rand(1, t, d, seed=6, scale=0.5)
+        k = rand(1, s, d, seed=7, scale=0.5)
+        v = rand(1, s, d, seed=8)
+        scale = d ** -0.5
+        delta = jnp.asarray(0.7)
+        ref = attention_reference(q, k, v, scale, sm_mode=mode, sm_bits=8,
+                                  sm_delta=delta, start_peak=True)
+        out = fused_attention(q, k, v, scale, sm_mode=mode, sm_bits=8,
+                              sm_delta=delta, start_peak=True,
+                              block_t=32, block_s=128, interpret=True)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
     def test_real_time_delta_identity(self):
         """1/min(l) == max softmax prob (the identity the kernel relies on)."""
         q = rand(3, 50, 32, seed=9)
