@@ -353,6 +353,12 @@ def quant_conv2d(
                 return jnp.reshape(y, (b, h, w, y.shape[-1]))
         if "w_q8c" in p and cfg.use_int8_conv:
             return _int8_conv(p, x, qp, cfg, stride, padding)
+    qpf = _fold_qp(qstate, cfg, name)
+    if qpf is not None:
+        from dgq_tpu.models.qconfig import _tap
+
+        _tap(name, x)  # calibration collectors see the pre-quant input
+        return _codes_conv2d(p, x, qpf, cfg, stride, padding)
     x = aq_apply(qstate, cfg, name, x)
     return conv2d(p, x, stride, padding)
 
@@ -368,6 +374,60 @@ def _tap_unfolded(qstate, cfg, name, x, conv_geom):
     if taps_active():
         kh, kw, stride, padding = conv_geom
         _tap(name, unfold_nhwc(x, kh, kw, stride, padding))
+
+
+def _fold_qp(qstate, cfg, name):
+    """Per-tensor activation QParams eligible for the codes-fold deploy path."""
+    if qstate is None or not cfg.use_aq or not cfg.fold_act_dequant:
+        return None
+    from dgq_tpu.models.qconfig import GroupQParams
+
+    qp = qstate.get("a", {}).get(name)
+    if qp is None or isinstance(qp, GroupQParams) or not hasattr(qp, "delta"):
+        return None
+    if getattr(qp.delta, "ndim", 1) != 0 or getattr(qp.zero_point, "ndim", 1) != 0:
+        return None  # per-channel / group scales stay on the fake-quant path
+    return qp
+
+
+def _fold_codes(x, qp, bits):
+    """Shifted integer codes q' = clip(round(x/Δ), -zp, PB-zp), cast to the
+    input dtype for the MXU. Δ·q' == fake_quant(x) exactly: the zero point
+    lives in the clip bounds (no add/sub), the dequantize multiply moves to
+    the consumer's epilogue, and zero padding of q' dequantizes to 0.0.
+    Codes are integers in [-PB, PB] — exact in bf16's 8-bit mantissa for
+    bits <= 8. STE gradient: d/dx = 1/Δ inside the clip region, matching the
+    fake-quant form once the consumer multiplies by Δ."""
+    from dgq_tpu.quant.affine import quant_bounds, ste_round
+
+    nb, pb = quant_bounds(bits, False, False)
+    d = qp.delta.astype(jnp.float32)
+    z = qp.zero_point.astype(jnp.float32)
+    q = jnp.clip(ste_round(x.astype(jnp.float32) / d), nb - z, pb - z)
+    return q.astype(x.dtype), d
+
+
+def _codes_linear(p, x, qp, cfg):
+    q, d = _fold_codes(x, qp, cfg.a_bits)
+    y = jnp.dot(q, p["w"].astype(q.dtype), preferred_element_type=jnp.float32) * d
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def _codes_conv2d(p, x, qp, cfg, stride, padding):
+    q, d = _fold_codes(x, qp, cfg.a_bits)
+    y = jax.lax.conv_general_dilated(
+        q,
+        p["w"].astype(q.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) * d
+    if p.get("b") is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
 
 
 def _int8_qp(p, qstate, cfg, name):
@@ -510,6 +570,12 @@ def quant_linear(
         else:
             y = _int8_matmul(p, x2, qp, cfg)
             return jnp.reshape(y, x.shape[:-1] + (y.shape[-1],))
+    qpf = _fold_qp(qstate, cfg, name)
+    if qpf is not None:
+        from dgq_tpu.models.qconfig import _tap
+
+        _tap(name, x)  # calibration collectors see the pre-quant input
+        return _codes_linear(p, x, qpf, cfg)
     x = aq_apply(qstate, cfg, name, x)
     return linear(p, x)
 

@@ -115,6 +115,14 @@ class QConfig:
     #              the 64x64-level projections/FF-in); other shapes fall back
     #              to fused bf16 fake-quant.
     int8_impl: str = "pallas"
+    # deploy path: for per-tensor activation scales, fold the dequantize out
+    # of the fake-quant entirely — feed the matmul/conv shifted integer codes
+    # q' = clip(round(x/Δ), -zp, PB-zp) (exact in bf16, |q'| <= 2^bits-1) and
+    # scale the f32 accumulator by Δ in the bias epilogue. Algebraically
+    # identical to fake-quant-then-matmul (Δ·q' == fq(x)); the input-sized
+    # elementwise chain shrinks from 6 ops to 3 (div, round, clip) and zero
+    # padding stays exact because code 0 dequantizes to 0.0.
+    fold_act_dequant: bool = True
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

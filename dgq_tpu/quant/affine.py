@@ -55,11 +55,16 @@ def fake_quant(
 ) -> jax.Array:
     """Quantize-dequantize x with straight-through rounding.
 
-    Matches reference quant_layer.py:295-299 bit-for-bit in float32.
+    Matches reference quant_layer.py:295-299 bit-for-bit in float32, in the
+    shifted-clip form: clip(r + zp, nb, pb) - zp == clip(r, nb - zp, pb - zp)
+    exactly (monotone shift), which drops two input-sized VPU ops (the +zp /
+    -zp pair) — the zero point moves into the clip bounds, which broadcast
+    like zp did. Gradients (STE round, clip cutoff, d/d_delta, d/d_zp) are
+    identical to the unshifted form in every region.
     """
     nb, pb = quant_bounds(bits, symmetric, always_zero)
-    x_q = jnp.clip(ste_round(x / qp.delta) + qp.zero_point, nb, pb)
-    return qp.delta * (x_q - qp.zero_point)
+    x_q = jnp.clip(ste_round(x / qp.delta), nb - qp.zero_point, pb - qp.zero_point)
+    return qp.delta * x_q
 
 
 def int_code_offset(bits: int, symmetric: bool = False, always_zero: bool = False) -> int:

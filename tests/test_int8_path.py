@@ -304,3 +304,83 @@ def test_group_taps_matches_unfold():
             assert np.allclose(np.asarray(out_i2c), np.asarray(out_unf),
                                atol=1e-4), \
                 (label, stride, np.abs(np.asarray(out_i2c) - np.asarray(out_unf)).max())
+
+
+def test_fold_act_dequant_matches_fake_quant():
+    """The codes-fold deploy path (fold_act_dequant=True, the default) must be
+    numerically identical to fake-quant-then-matmul for per-tensor scales —
+    values AND gradients (STE/clip regions)."""
+    from dgq_tpu.models.layers import quant_conv2d
+
+    rng = np.random.RandomState(7)
+    cfg_on = QConfig(use_aq=True, a_bits=8)
+    assert cfg_on.fold_act_dequant
+    cfg_off = cfg_on.replace(fold_act_dequant=False)
+
+    # -- linear --
+    x = jnp.asarray(rng.randn(6, 10, 32).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(32, 48).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.randn(48).astype(np.float32))}
+    # a zero point large enough that some values clip on both sides
+    qstate = {"a": {"L": QParams(jnp.asarray(0.031), jnp.asarray(117.0))},
+              "sm": {}}
+    out_fold = quant_linear(p, x, "L", qstate, cfg_on)
+    out_ref = quant_linear(p, x, "L", qstate, cfg_off)
+    assert np.allclose(np.asarray(out_fold), np.asarray(out_ref), atol=1e-5), \
+        np.abs(np.asarray(out_fold) - np.asarray(out_ref)).max()
+
+    g_fold = jax.grad(lambda t: quant_linear(p, t, "L", qstate, cfg_on).sum())(x)
+    g_ref = jax.grad(lambda t: quant_linear(p, t, "L", qstate, cfg_off).sum())(x)
+    assert np.allclose(np.asarray(g_fold), np.asarray(g_ref), atol=1e-4), \
+        np.abs(np.asarray(g_fold) - np.asarray(g_ref)).max()
+
+    # -- conv, stride/padding variants (zero padding must dequantize to 0) --
+    xc = jnp.asarray(rng.randn(2, 9, 9, 16).astype(np.float32))
+    pc = {"w": jnp.asarray(rng.randn(3, 3, 16, 24).astype(np.float32) * 0.1),
+          "b": jnp.asarray(rng.randn(24).astype(np.float32))}
+    for stride, padding in [(1, 1), (2, 1), (1, 0)]:
+        qs = {"a": {"C": QParams(jnp.asarray(0.044), jnp.asarray(131.0))},
+              "sm": {}}
+        out_fold = quant_conv2d(pc, xc, "C", qs, cfg_on, stride, padding)
+        out_ref = quant_conv2d(pc, xc, "C", qs, cfg_off, stride, padding)
+        assert np.allclose(np.asarray(out_fold), np.asarray(out_ref),
+                           atol=1e-5), \
+            (stride, padding,
+             np.abs(np.asarray(out_fold) - np.asarray(out_ref)).max())
+
+    # -- bf16 codes are exact: fold in bf16 == f32 fake-quant to bf16 tol --
+    xb = xc.astype(jnp.bfloat16)
+    pb16 = {"w": pc["w"].astype(jnp.bfloat16), "b": pc["b"].astype(jnp.bfloat16)}
+    qsb = {"a": {"C": QParams(jnp.asarray(0.044, jnp.bfloat16),
+                              jnp.asarray(131.0, jnp.bfloat16))}, "sm": {}}
+    out_b = quant_conv2d(pb16, xb, "C", qsb, cfg_on, 1, 1)
+    out_f = quant_conv2d(pc, xc, "C", {"a": {"C": QParams(
+        jnp.asarray(0.044), jnp.asarray(131.0))}, "sm": {}}, cfg_off, 1, 1)
+    assert np.allclose(np.asarray(out_b, np.float32), np.asarray(out_f),
+                       atol=0.15, rtol=0.05)
+
+    # -- group / per-channel scales must NOT take the fold path --
+    qs_vec = {"a": {"C": QParams(jnp.full((16,), 0.05), jnp.full((16,), 128.0))},
+              "sm": {}}
+    out_vec_on = quant_conv2d(pc, xc, "C", qs_vec, cfg_on, 1, 1)
+    out_vec_off = quant_conv2d(pc, xc, "C", qs_vec, cfg_off, 1, 1)
+    assert np.allclose(np.asarray(out_vec_on), np.asarray(out_vec_off),
+                       atol=1e-6)
+
+
+def test_fold_path_publishes_taps():
+    """Calibration collectors must still see the pre-quant input when the
+    codes-fold path handles the layer."""
+    from dgq_tpu.models.qconfig import collect_act_taps
+
+    rng = np.random.RandomState(8)
+    cfg = QConfig(use_aq=True, a_bits=8)
+    x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(8, 8).astype(np.float32)), "b": None}
+    qstate = {"a": {"L": QParams(jnp.asarray(0.05), jnp.asarray(128.0))},
+              "sm": {}}
+    store = {}
+    with collect_act_taps(store):
+        quant_linear(p, x, "L", qstate, cfg)
+    assert "L" in store
+    assert np.allclose(np.asarray(store["L"]), np.asarray(x))
