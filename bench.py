@@ -44,13 +44,11 @@ def bench_sdxl(args):
     import jax
     import jax.numpy as jnp
 
-    from dgq_tpu.calib.act_calib import act_qpoint_names
     from dgq_tpu.calib.weight_calib import quantize_model_weights
     from dgq_tpu.models.qconfig import QConfig
     from dgq_tpu.models.unet_sd import init_unet_sd
     from dgq_tpu.models.unet_sdxl import sdxl_unet_spec, unet_sdxl_apply
     from dgq_tpu.pipeline.sampler import sdxl_turbo_sample
-    from dgq_tpu.quant.affine import QParams
     from dgq_tpu.quant.scalers import Scaler
 
     dtype = jnp.bfloat16
@@ -86,9 +84,9 @@ def bench_sdxl(args):
     if use_group:
         qstate = qstate_g
     else:
-        qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype),
-                                   jnp.asarray(128.0, dtype))
-                        for n in act_qpoint_names(spec)}, "sm": {}}
+        from dgq_tpu.utils.synthetic import synthetic_pertensor_qstate
+
+        qstate = synthetic_pertensor_qstate(spec, 0, False, dtype)
     b = args.batch
     latents = jax.random.normal(jax.random.PRNGKey(1), (b, 128, 128, 4), dtype)
     ehs = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 2048), dtype)
@@ -132,13 +130,11 @@ def bench_sd(args):
     import jax
     import jax.numpy as jnp
 
-    from dgq_tpu.calib.act_calib import act_qpoint_names
     from dgq_tpu.calib.weight_calib import quantize_model_weights
     from dgq_tpu.models.qconfig import QConfig
     from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec
     from dgq_tpu.pipeline.sampler import sd_sample
     from dgq_tpu.pipeline.vae import init_vae_decoder, vae_decode
-    from dgq_tpu.quant.affine import QParams
     from dgq_tpu.quant.scalers import Scaler
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -170,14 +166,9 @@ def bench_sd(args):
         cfg = cfg.replace(group_conv_layers=group_layers,
                           group_conv_impl=args.group_impl)
     else:
-        def mk_qp():
-            shape = (t_slots,) if time_aware else ()
-            return QParams(
-                delta=jnp.full(shape, 0.05, dtype),
-                zero_point=jnp.full(shape, 128.0, dtype),
-            )
+        from dgq_tpu.utils.synthetic import synthetic_pertensor_qstate
 
-        qstate = {"a": {n: mk_qp() for n in act_qpoint_names(spec)}, "sm": {}}
+        qstate = synthetic_pertensor_qstate(spec, t_slots, time_aware, dtype)
     t0 = time.perf_counter()
     # init + quantize + fold on the host CPU: local compiles, one pass; the
     # TPU only sees the final folded weights

@@ -102,6 +102,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", default=None, help="write results json here too")
     args = ap.parse_args(argv)
+    if args.open_clip_ckpt and not args.tokenizer:
+        ap.error("--open_clip_ckpt requires --tokenizer (local CLIP BPE "
+                 "tokenizer dir)")
 
     import jax
 

@@ -223,18 +223,24 @@ def group_quant_conv2d_taps(
     dequantize half of fake-quant is removed algebraically — only the
     integer-code computation touches input-sized data:
 
-        fq(x)·w = dl[l] * (q @ (dm·w) - C1 - zl[l]·C2),   per tap ij:
-        q = clip(round(x / (dm·dl)) + zm + zl, 0, 2^b-1)
-        C1 = sum_ij (dm·zm)[:,ij] @ w[i,j],  C2 = sum_ij dm[:,ij] @ w[i,j]
+        fq(x)·w = dl[l] * (q' @ (dm·w)),   per tap ij:
+        q' = clip(round(x / (dm·dl)), -(zm+zl), 2^b-1-(zm+zl))
 
-    The dm fold into w and the C1/C2 corrections are weight-sized (negligible
-    next to the 9x input-sized tap reads); dl factors out of the tap sum
-    entirely. STE gradients are identical to the fake-quant form inside the
-    clip region (d/dx = w) and zero outside it.
+    The shifted-clip form keeps the (fractional) zero point in the clip
+    BOUNDS instead of adding it to the codes: q' is an integer everywhere
+    except at the rare clip boundaries, and the zero-point term telescopes
+    out of the sum entirely — no output corrections. (An earlier form
+    computed q = round(x/d)+z with corrections C1/C2; with a fractional z
+    every code carried a constant fractional part that bf16 rounds away at
+    ulp(128)=1.0, leaving a systematic per-channel bias ~0.03 on outputs of
+    scale ~2. The shifted form measures chan-bias ~1e-3, the bf16 input
+    rounding floor.) The dm fold into w is weight-sized; dl factors out of
+    the tap sum. STE gradients are identical to the fake-quant form inside
+    the clip region (d/dx = w) and zero outside it.
 
     The codes are cast to the input dtype (bf16) before the matmul: integer
-    codes in [0, 255] are exactly representable in bf16's 8-bit mantissa, and
-    the MXU runs bf16 x bf16 -> f32 at 2x the f32 rate. Measured v5e
+    codes in (-2^b, 2^b) are exactly representable in bf16's 8-bit mantissa,
+    and the MXU runs bf16 x bf16 -> f32 at 2x the f32 rate. Measured v5e
     (chained-op, ms/conv): 1.45 vs 1.98 fake-quant at 8x64x64x320, 1.13 vs
     1.35 at 8x32x32x640; an f32-codes variant of the same fold measured no
     faster than fake-quant (2.01 / 1.21) — the win needs both the algebraic
@@ -250,18 +256,18 @@ def group_quant_conv2d_taps(
     dm2, zm2, dl4, zl4 = _group_tap_scales(gqp, c, kh, kw, ho, wo)
     nb, pb = quant_bounds(cfg.a_bits, False, False)
 
-    # fold dm into the weight; precompute the zero-point corrections
+    # fold dm into the weight
     ncols = dm2.shape[1]
     taps = kh * kw
-    # (taps, c, 1) per-tap channel scales / zero points
+    # (taps, c, 1) per-tap channel scales
     dm_t = jnp.transpose(dm2[:, jnp.arange(taps) % ncols])[:, :, None]
-    zm_t = jnp.transpose(zm2[:, jnp.arange(taps) % ncols])[:, :, None]
     wf = jnp.reshape(p["w"], (taps, c, o)).astype(jnp.float32)
-    ws_f = wf * dm_t                               # (taps, c, o) f32
-    c2 = jnp.sum(ws_f, axis=(0, 1))                # (o,)
-    c1 = jnp.sum(ws_f * zm_t, axis=(0, 1))         # (o,)
-    ws = ws_f.astype(x.dtype)                      # bf16 MXU feed
+    ws = (wf * dm_t).astype(x.dtype)               # bf16 MXU feed
 
+    # reciprocals once (channel-sized): the per-element op is a multiply,
+    # not a VPU divide
+    rdm2 = 1.0 / dm2.astype(jnp.float32)
+    rdl4 = 1.0 / dl4.astype(jnp.float32)
     acc = jnp.zeros((b, ho, wo, o), jnp.float32)
     for i in range(kh):
         for j in range(kw):
@@ -272,15 +278,15 @@ def group_quant_conv2d_taps(
                 (1, stride, stride, 1),
             )
             ij = i * kw + j
-            d_ij = dm2[:, ij % ncols].reshape(1, 1, 1, -1) * dl4
+            rd_ij = rdm2[:, ij % ncols].reshape(1, 1, 1, -1) * rdl4
             z_ij = zm2[:, ij % ncols].reshape(1, 1, 1, -1) + zl4
-            q = jnp.clip(ste_round(xs.astype(jnp.float32) / d_ij) + z_ij,
-                         nb, pb).astype(x.dtype)
+            q = jnp.clip(ste_round(xs.astype(jnp.float32) * rd_ij),
+                         nb - z_ij, pb - z_ij).astype(x.dtype)
             acc = acc + jnp.einsum(
                 "bhwc,co->bhwo", q, ws[ij],
                 preferred_element_type=jnp.float32,
             )
-    acc = dl4 * (acc - c1 - zl4 * c2)
+    acc = dl4 * acc
     if p.get("b") is not None:
         acc = acc + p["b"]
     return acc.astype(x.dtype)
@@ -337,7 +343,26 @@ def quant_conv2d(
         ho = (h + 2 * padding - kh) // stride + 1
         wo = (w + 2 * padding - kw) // stride + 1
         x_unf = unfold_nhwc(x, kh, kw, stride, padding)
-        x_unf = aq_apply(qstate, cfg, name, x_unf)
+        c = x.shape[-1]
+        if (gqp is not None and hasattr(gqp, "delta")
+                and not hasattr(gqp, "delta_mid")
+                and getattr(gqp.delta, "size", 0) == c and c != 1):
+            # Per-channel (C,) plain QParams on a group-listed layer: the
+            # taps impl applies delta[c] to every tap of channel c; expand to
+            # the c-major unfolded mid axis so both impls agree (a bare (C,)
+            # would otherwise broadcast against the location axis L).
+            from dgq_tpu.models.qconfig import _tap
+            from dgq_tpu.quant.affine import QParams as _QP, fake_quant as _fq
+
+            d = jnp.repeat(gqp.delta.reshape(-1), kh * kw)
+            z = jnp.repeat(
+                jnp.broadcast_to(gqp.zero_point.reshape(-1),
+                                 (gqp.delta.size,)), kh * kw)
+            _tap(name, x_unf)
+            x_unf = _fq(x_unf, _QP(d.reshape(1, c * kh * kw, 1),
+                                   z.reshape(1, c * kh * kw, 1)), cfg.a_bits)
+        else:
+            x_unf = aq_apply(qstate, cfg, name, x_unf)
         return conv2d_unfolded(p, x_unf, (ho, wo))
     qp = _int8_qp(p, qstate, cfg, name)
     if qp is not None:
@@ -403,7 +428,8 @@ def _fold_codes(x, qp, bits):
     nb, pb = quant_bounds(bits, False, False)
     d = qp.delta.astype(jnp.float32)
     z = qp.zero_point.astype(jnp.float32)
-    q = jnp.clip(ste_round(x.astype(jnp.float32) / d), nb - z, pb - z)
+    q = jnp.clip(ste_round(x.astype(jnp.float32) * (1.0 / d)),
+                 nb - z, pb - z)
     return q.astype(x.dtype), d
 
 

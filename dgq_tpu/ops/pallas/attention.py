@@ -58,10 +58,13 @@ def _log2_quant_bits(p, delta, level):
     return pow2 * delta
 
 
-# ------------------------------------------------------------- phase 1 ------
-def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
-    """Row max and normalizer over all key blocks (one grid cell = q tile)."""
-    q = q_ref[0]  # keep bf16: the MXU runs bf16 at 4x f32 throughput
+# -------------------------------------------------- shared loop bodies ------
+def _stats_loop(q, k_ref, *, scale, s_valid, block_s):
+    """Phase-1 loop: per-row running (max m, normalizer l) over key blocks.
+
+    Shared by the standalone stats kernel and the merged static-delta kernel
+    so masking/online-update fixes land in exactly one place.
+    """
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     # masking is only needed when S was padded; self-attention (S = tiles)
@@ -84,27 +87,22 @@ def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
     bt = q.shape[0]
     m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bt, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, n_blocks, body, (m0, l0))
-    o_m_ref[0] = m
-    o_l_ref[0] = l
+    return jax.lax.fori_loop(0, n_blocks, body, (m0, l0))
 
 
-# ------------------------------------------------------------- phase 2 ------
-def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
-                  scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
-    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM.
+def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
+                      block_s, sm_mode, sm_bits, start_peak):
+    """Phase-2 loop: probs = exp(s - m)/l (exact final softmax), quantize,
+    multiply V. Shared by the two-pass accumulate kernel and the merged
+    static-delta kernel.
 
     log2 mode is transcendental-free: -log2(p/delta) with p = exp(s-m)/l is
     LINEAR in the raw score,
         -log2(p/delta) = log2(delta) + (m + ln l - s) / ln 2,
     so the quantized exponent is round(a - s/ln2) and 2^-q is constructed by
-    exponent-field bit manipulation. Phase 2 runs no exp/log at all.
+    exponent-field bit manipulation. This loop runs no exp/log in log2 mode.
     """
-    q = q_ref[0]
-    m = m_ref[0]
-    l = l_ref[0]
     inv_l = 1.0 / l
-    delta = delta_ref[0, 0]
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     level = 2 ** sm_bits
@@ -136,6 +134,7 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
         else:
             pq = jnp.exp(s - m) * inv_l
         if start_peak:
+            # key position 0 is restored unquantized (sd.py:191-195)
             pq = jnp.where(col == 0, jnp.exp(s - m) * inv_l, pq)
         if needs_mask:
             pq = jnp.where(col < s_valid, pq, 0.0)
@@ -146,7 +145,28 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
         )
 
     acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
-    acc = jax.lax.fori_loop(0, n_blocks, body, acc0)
+    return jax.lax.fori_loop(0, n_blocks, body, acc0)
+
+
+# ------------------------------------------------------------- phase 1 ------
+def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
+    """Row max and normalizer over all key blocks (one grid cell = q tile)."""
+    # keep q bf16: the MXU runs bf16 at 4x f32 throughput
+    m, l = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
+                       block_s=block_s)
+    o_m_ref[0] = m
+    o_l_ref[0] = l
+
+
+# ------------------------------------------------------------- phase 2 ------
+def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
+                  scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
+    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
+    acc = _quant_accum_loop(
+        q_ref[0], k_ref, v_ref, m_ref[0], l_ref[0], delta_ref[0, 0],
+        scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
+        sm_bits=sm_bits, start_peak=start_peak,
+    )
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -162,68 +182,16 @@ def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, *,
     have no cross-tile dependency, so both loops run back-to-back in one
     kernel over the same VMEM-resident K/V: one pallas_call instead of two,
     no HBM re-read of Q/K between phases, no m/l round-trip through HBM.
-    Numerics are identical to the two-pass form (same f32 formulas).
+    Numerics are identical to the two-pass form (same shared loop bodies).
     """
     q = q_ref[0]
-    delta = delta_ref[0, 0]
-    s_total = k_ref.shape[1]
-    n_blocks = s_total // block_s
-    level = 2 ** sm_bits
-    needs_mask = s_valid < s_total
-    inv_ln2 = 1.4426950408889634
-    bt = q.shape[0]
-
-    def stats_body(j, carry):
-        m, l = carry
-        k = k_ref[0, pl.ds(j * block_s, block_s), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-            s = jnp.where(col < s_valid, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
-        return m_new, l
-
-    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bt, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, n_blocks, stats_body, (m0, l0))
-
-    inv_l = 1.0 / l
-    a_row = jnp.log2(delta) + (m + jnp.log(l)) * inv_ln2  # log2 mode constant
-
-    def accum_body(j, acc):
-        k = k_ref[0, pl.ds(j * block_s, block_s), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = None
-        if needs_mask or start_peak:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-        if needs_mask:
-            s = jnp.where(col < s_valid, s, NEG_INF)
-        if sm_mode == "log2":
-            qexp = jnp.clip(jnp.round(a_row - s * inv_ln2), 0.0, float(level - 1))
-            qi = qexp.astype(jnp.int32)
-            pq = jax.lax.bitcast_convert_type(
-                jnp.maximum(127 - qi, 0) << 23, jnp.float32)
-            pq = jnp.where(qi > 126, 0.0, pq) * delta
-        else:  # uniform
-            p = jnp.exp(s - m) * inv_l
-            pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
-        if start_peak:
-            pq = jnp.where(col == 0, jnp.exp(s - m) * inv_l, pq)
-        if needs_mask:
-            pq = jnp.where(col < s_valid, pq, 0.0)
-        v = v_ref[0, pl.ds(j * block_s, block_s), :]
-        return acc + jax.lax.dot_general(
-            pq.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    acc0 = jnp.zeros((bt, v_ref.shape[2]), jnp.float32)
-    acc = jax.lax.fori_loop(0, n_blocks, accum_body, acc0)
+    m, l = _stats_loop(q, k_ref, scale=scale, s_valid=s_valid,
+                       block_s=block_s)
+    acc = _quant_accum_loop(
+        q, k_ref, v_ref, m, l, delta_ref[0, 0],
+        scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
+        sm_bits=sm_bits, start_peak=start_peak,
+    )
     o_ref[0] = acc.astype(o_ref.dtype)
 
 

@@ -40,7 +40,13 @@ def _attn(p, prefix, x):
     q = jnp.dot(x, p[f"{prefix}.to_q"]["w"]) + p[f"{prefix}.to_q"]["b"]
     k = jnp.dot(x, p[f"{prefix}.to_k"]["w"]) + p[f"{prefix}.to_k"]["b"]
     v = jnp.dot(x, p[f"{prefix}.to_v"]["w"]) + p[f"{prefix}.to_v"]["b"]
-    if h * w >= 1024:
+    # fused_attention holds the full padded K and V in VMEM per program
+    # (BlockSpec (1, S, D)); with double buffering that is ~4*S*D*itemsize
+    # bytes. Cap the switch so huge decodes (SDXL 1024px mid-block: 16384
+    # tokens x 512 ch) fall back to the materialized-softmax path instead of
+    # overflowing VMEM at compile.
+    kv_bytes = 2 * (h * w) * c * jnp.dtype(x.dtype).itemsize
+    if 1024 <= h * w and kv_bytes <= 24 * 1024 * 1024:
         # single-head attention over h*w tokens: at 512px decode this is a
         # (B, 4096, 4096) f32 softmax — 64 MB/image materialized in HBM.
         # The flash kernel keeps it blockwise in VMEM (interpret on CPU).
@@ -48,6 +54,25 @@ def _attn(p, prefix, x):
 
         o = fused_attention(q, k, v, c ** -0.5, sm_mode="none",
                             interpret=jax.default_backend() == "cpu")
+    elif h * w >= 4096:
+        # flash-ineligible giant decodes (SDXL 1024px: 16384 tokens x 512 ch
+        # exceeds the kernel's whole-K/V-in-VMEM budget): exact softmax over
+        # query chunks — O(chunk*S) live scores instead of a (B, S, S) f32
+        # matrix (1 GB/image at 16384 tokens).
+        tc = 1024
+        t = h * w
+        tpad = -t % tc  # pad queries up; extra rows are discarded below
+        qp = jnp.pad(q, ((0, 0), (0, tpad), (0, 0)))
+        nchunk = (t + tpad) // tc
+        qc = jnp.reshape(qp, (b, nchunk, tc, c)).transpose(1, 0, 2, 3)
+
+        def _chunk(qb):
+            s = jnp.einsum("btc,bsc->bts", qb, k) * (c ** -0.5)
+            a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+            return jnp.einsum("bts,bsc->btc", a, v)
+
+        o = jax.lax.map(_chunk, qc)  # (nchunk, b, tc, c)
+        o = jnp.reshape(o.transpose(1, 0, 2, 3), (b, t + tpad, c))[:, :t]
     else:
         scores = jnp.einsum("btc,bsc->bts", q, k) * (c ** -0.5)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)

@@ -22,11 +22,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from dgq_tpu.calib.act_calib import act_qpoint_names
 from dgq_tpu.calib.weight_calib import quantize_model_weights
 from dgq_tpu.models.qconfig import QConfig
 from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply
-from dgq_tpu.quant.affine import QParams
 from dgq_tpu.quant.scalers import Scaler
 
 B = 8  # CFG-doubled batch for 4 images
@@ -63,8 +61,9 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 4), dtype)
     t = jnp.full((B,), 500.0, dtype)
     ehs = jax.random.normal(jax.random.PRNGKey(2), (B, 77, 768), dtype)
-    qstate = {"a": {n: QParams(jnp.asarray(0.05, dtype), jnp.asarray(128.0, dtype))
-                    for n in act_qpoint_names(spec)}, "sm": {}}
+    from dgq_tpu.utils.synthetic import synthetic_pertensor_qstate
+
+    qstate = synthetic_pertensor_qstate(spec, 0, False, dtype)
 
     configs = [
         ("fp (no quant)", QConfig(), None),

@@ -104,6 +104,64 @@ def test_quant_conv2d_fused_impl_and_fallbacks(monkeypatch):
     assert np.allclose(np.asarray(out3), np.asarray(ref3), atol=1e-6)
 
 
+def test_per_channel_plain_qparams_impl_agreement():
+    """A plain QParams with per-channel (C,) delta on a group-listed layer:
+    taps interprets delta[c] as uniform over the taps of channel c; the
+    unfold and im2col impls must agree (a bare (C,) would otherwise
+    broadcast against the unfolded location axis)."""
+    from dgq_tpu.quant.affine import QParams
+
+    rng = np.random.RandomState(4)
+    c, o = 12, 16
+    w = jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(o).astype(np.float32) * 0.1)
+    p = {"w": w, "b": b}
+    x = jnp.asarray(rng.randn(2, 12, 12, c).astype(np.float32))
+    qp = QParams(
+        delta=jnp.asarray(rng.uniform(0.02, 0.08, (c,)).astype(np.float32)),
+        zero_point=jnp.asarray(rng.uniform(100, 156, (c,)).astype(np.float32)),
+    )
+    qstate = {"a": {"L": qp}, "sm": {}}
+    cfg = QConfig(a_bits=8, use_aq=True, group_conv_layers=("L",))
+
+    outs = {
+        impl: np.asarray(quant_conv2d(
+            p, x, "L", qstate, cfg.replace(group_conv_impl=impl), 1, 1))
+        for impl in ("taps", "im2col", "unfold")
+    }
+    for impl in ("im2col", "unfold"):
+        assert np.allclose(outs[impl], outs["taps"], atol=2e-3), \
+            (impl, np.abs(outs[impl] - outs["taps"]).max())
+
+
+def test_taps_bf16_fold_unbiased():
+    """The bf16 deploy fold must keep the fractional zero point OUT of the
+    integer codes (shifted-clip form): a q = round(x/d)+zp formulation makes
+    every code carry frac(zp), which bf16 rounds away at ulp(128)=1.0 — a
+    systematic per-output-channel bias (~0.03-0.09 measured on outputs of
+    scale ~2, vs the ~1e-3 bf16-input-rounding floor). Regression: the
+    per-channel signed-mean error vs the f32 path must center on zero."""
+    rng = np.random.RandomState(5)
+    c, o = 64, 64
+    w = jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1)
+    p = {"w": w, "b": None}
+    x32 = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+    dm = jnp.asarray(rng.uniform(0.02, 0.08, (c * 9,)).astype(np.float32))
+    zm = jnp.asarray(rng.uniform(100, 156, (c * 9,)).astype(np.float32))
+    gqp = GroupQParams(delta_mid=dm, zp_mid=zm,
+                       delta_last=jnp.ones((1,)), zp_last=jnp.zeros((1,)))
+    cfg = QConfig(a_bits=8, use_aq=True)
+
+    ref = np.asarray(group_quant_conv2d_taps(p, x32, gqp, cfg, 1, 1))
+    out = np.asarray(group_quant_conv2d_taps(
+        p, x32.astype(jnp.bfloat16), gqp, cfg, 1, 1)).astype(np.float32)
+    # per-output-channel signed mean error: bias-free rounding noise averages
+    # out over 128 samples/channel; the add-then-round formulations left a
+    # constant offset per channel an order of magnitude above this threshold
+    chan_bias = np.abs((out - ref).mean(axis=(0, 1, 2))).max()
+    assert chan_bias < 1e-2, chan_bias
+
+
 def test_odd_shapes_blocking():
     """Non-power-of-two O and H exercise the block-size reduction loops."""
     rng = np.random.RandomState(3)
