@@ -19,6 +19,12 @@ from dgq_tpu.models.layers import conv2d, group_norm, silu, upsample_nearest2x
 
 SD_VAE_SCALE = 0.18215
 
+# fused_attention holds the whole padded K and V in VMEM per program; with
+# double buffering the footprint is ~2x (K+V). Decodes whose K+V exceed this
+# budget take the chunked-softmax path instead (module-level so tests can
+# patch it down).
+FLASH_KV_VMEM_BUDGET = 24 * 1024 * 1024
+
 
 def _resnet(p, prefix, x):
     h = group_norm(p[f"{prefix}.norm1"], x, eps=1e-6)
@@ -40,13 +46,11 @@ def _attn(p, prefix, x):
     q = jnp.dot(x, p[f"{prefix}.to_q"]["w"]) + p[f"{prefix}.to_q"]["b"]
     k = jnp.dot(x, p[f"{prefix}.to_k"]["w"]) + p[f"{prefix}.to_k"]["b"]
     v = jnp.dot(x, p[f"{prefix}.to_v"]["w"]) + p[f"{prefix}.to_v"]["b"]
-    # fused_attention holds the full padded K and V in VMEM per program
-    # (BlockSpec (1, S, D)); with double buffering that is ~4*S*D*itemsize
-    # bytes. Cap the switch so huge decodes (SDXL 1024px mid-block: 16384
-    # tokens x 512 ch) fall back to the materialized-softmax path instead of
-    # overflowing VMEM at compile.
+    # Cap the flash switch so huge decodes (SDXL 1024px mid-block: 16384
+    # tokens x 512 ch) fall back to chunked softmax instead of overflowing
+    # VMEM at compile (fused_attention maps the whole padded K/V per program).
     kv_bytes = 2 * (h * w) * c * jnp.dtype(x.dtype).itemsize
-    if 1024 <= h * w and kv_bytes <= 24 * 1024 * 1024:
+    if 1024 <= h * w and kv_bytes <= FLASH_KV_VMEM_BUDGET:
         # single-head attention over h*w tokens: at 512px decode this is a
         # (B, 4096, 4096) f32 softmax — 64 MB/image materialized in HBM.
         # The flash kernel keeps it blockwise in VMEM (interpret on CPU).

@@ -195,6 +195,32 @@ def test_vae_attn_flash_matches_xla():
         np.abs(np.asarray(out_big) - np.asarray(ref)).max()
 
 
+def test_vae_attn_chunked_matches_flash(monkeypatch):
+    """Decodes whose K+V exceed the flash kernel's VMEM budget (SDXL 1024px
+    mid-block) take the exact chunked-softmax path; it must agree with the
+    flash path on the same inputs."""
+    import dgq_tpu.pipeline.vae as V
+
+    c = 32
+    p = {
+        "a.group_norm": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+    }
+    key = jax.random.PRNGKey(4)
+    for nm in ["to_q", "to_k", "to_v", "to_out.0"]:
+        key, k1, k2 = jax.random.split(key, 3)
+        p[f"a.{nm}"] = {"w": jax.random.normal(k1, (c, c)) * 0.1,
+                        "b": jax.random.normal(k2, (c,)) * 0.01}
+    # 64*80 = 5120 tokens: >= 4096 so a sub-budget patch routes to the
+    # chunked path, and not a multiple of the 1024 chunk (exercises padding)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 80, c))
+
+    ref = V._attn(p, "a", x)  # flash path (interpret on CPU)
+    monkeypatch.setattr(V, "FLASH_KV_VMEM_BUDGET", 1)
+    out = V._attn(p, "a", x)  # chunked path
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
 def test_vae_spec_param_count_full():
     n = 0
     for name, kind, meta in vae_decoder_spec(base=128):
