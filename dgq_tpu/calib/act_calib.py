@@ -223,7 +223,7 @@ def group_calibrate_qstate(
     group_num: int,
     mode: str = "minmax",
     unet_apply=unet_sd_apply,
-) -> QState:
+) -> tuple[QState, tuple]:
     """DGQ group quantization for one timestep chunk: record per-axis min/max
     over the batches (convs on their im2col-unfolded input), k-means the
     channels, expand per-cluster scales back to per-channel GroupQParams.
@@ -265,17 +265,19 @@ def group_calibrate_qstate(
         )
         d = np.asarray(qp.delta).ravel()
         z = np.asarray(qp.zero_point).ravel()
+        # The unused axis is canonicalized to size-(1,) ones — the same
+        # convention io/dgq_ckpt.act_dict_to_qstate produces on load, so
+        # fresh and round-tripped qstates have identical leaf shapes (and
+        # fused_eligible's scalar-delta_last gate accepts both).
         if in_wise:
-            c_mid = np.asarray(stats[n].out_min).shape[0]
             g = GroupQParams(
-                delta_mid=jnp.ones((c_mid,)), zp_mid=jnp.zeros((c_mid,)),
+                delta_mid=jnp.ones((1,)), zp_mid=jnp.zeros((1,)),
                 delta_last=jnp.asarray(d), zp_last=jnp.asarray(z),
             )
         else:
-            c_last = np.asarray(stats[n].in_min).shape[0]
             g = GroupQParams(
                 delta_mid=jnp.asarray(d), zp_mid=jnp.asarray(z),
-                delta_last=jnp.ones((c_last,)), zp_last=jnp.zeros((c_last,)),
+                delta_last=jnp.ones((1,)), zp_last=jnp.zeros((1,)),
             )
         new_a[n] = g
         if n in conv_names:
@@ -299,7 +301,7 @@ def calibrate_activations(
     seed: int = 0,
     unet_apply=unet_sd_apply,
     progress=None,
-) -> Dict[str, QState]:
+) -> tuple[Dict[str, QState], tuple]:
     """Per-timestep-chunk activation calibration (the reference's
     cali_model_aq loop). group_num > 1 selects the DGQ group path.
 
@@ -344,9 +346,20 @@ def calibrate_activations(
 def stack_time_qstates(per_t: Dict[str, QState]) -> QState:
     """Stack {'act_0': qs, 'act_1': qs, ...} into one qstate whose leaves have
     a leading [T] axis, for in-scan per-timestep selection (the counterpart of
-    the reference's per-step load_state_dict hot swap, calibration.py:297-312)."""
+    the reference's per-step load_state_dict hot swap, calibration.py:297-312).
+
+    Leaves are broadcast to their common shape before stacking: the k-means
+    spread heuristic may pick the mid axis at one timestep and the last axis
+    at another for the same layer (reference quant_layer.py:352-360 does so
+    per-call), leaving the UNUSED GroupQParams axis as size-(1,) ones on one
+    side and full-length values on the other — ones broadcast losslessly."""
     n = len(per_t)
     ordered = [per_t[f"act_{i}"] for i in range(n)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *[
+
+    def stack(*xs):
+        shape = np.broadcast_shapes(*[jnp.shape(x) for x in xs])
+        return jnp.stack([jnp.broadcast_to(x, shape) for x in xs])
+
+    return jax.tree.map(stack, *[
         {k: v for k, v in q.items() if k in ("a", "sm")} for q in ordered
     ])

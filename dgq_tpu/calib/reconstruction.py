@@ -9,10 +9,13 @@ the quantized prefix network (asym mode, data_utill.py:146-157).
 TPU-native re-design:
   * capture-by-DCE: a jitted forward that returns only `record[unit]` lets XLA
     dead-code-eliminate everything downstream — the compiled analogue of the
-    reference's StopForwardException early exit;
-  * the FP outputs of ALL units are captured in one pass (they never change);
-    the quantized-prefix pass is re-run per unit as earlier units' alphas
-    freeze (hard rounding), preserving the reference's sequential semantics;
+    reference's StopForwardException early exit. Captures run per unit (FP
+    targets included): holding every unit's cached activations at once would
+    cost O(units x samples x activation) host memory (tens of GB at full
+    width), so the FP sweep is repeated per unit just like the reference's
+    hook pass, and the quantized-prefix pass is re-run per unit as earlier
+    units' alphas freeze (hard rounding), preserving the reference's
+    sequential semantics;
   * the inner optimization is an optax Adam step under `lax.scan` — 20k iters
     compile to one XLA while-loop instead of 20k Python steps;
   * data parallelism: shard the cached activations over a mesh 'dp' axis and
@@ -464,6 +467,7 @@ def calibrate_weights(
     n = cali_data[0].shape[0]
 
     tib_layers: set = set()
+    params_units = params
     if tib_recon:
         if progress:
             progress("reconstructing temporal information block (TFMQ)")
@@ -481,6 +485,15 @@ def calibrate_weights(
             for u in units
         ]
         units = [u for u in units if u.layers]
+        # tib layers are calibrated & frozen here: the per-unit walks must
+        # see them hard-quantized INSIDE each unit's forward too (a resnet's
+        # time_emb_proj behaves quantized at deploy; leaving it FP while its
+        # conv1/conv2 alphas optimize would bias the learned rounding), not
+        # just in the asym prefix.
+        params_units = fold_weight_quant(
+            params, {k: wqp[k] for k in tib_layers if k in wqp}, spec, cfg,
+            alphas=tib_alphas, soft=False,
+        )
 
     def batched_capture(p, unit_name):
         ins, outs = None, None
@@ -530,7 +543,7 @@ def calibrate_weights(
                     params, pq_g, batch, unit.name, cfg, unet_apply)))
             cached_grads = jnp.concatenate([jnp.asarray(g) for g in gs])
         alphas, _ = reconstruct_unit(
-            jax.random.fold_in(key, u_idx), unit, params, wqp,
+            jax.random.fold_in(key, u_idx), unit, params_units, wqp,
             q_inputs, fp_out, cfg, iters=iters, batch_size=batch_size,
             w=w, warmup=warmup, opt_mode=opt_mode, cached_grads=cached_grads,
         )

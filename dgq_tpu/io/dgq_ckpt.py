@@ -181,13 +181,22 @@ def act_dict_to_qstate(act: Dict[str, np.ndarray], spec) -> tuple[QState, tuple]
     to GroupQParams. Scalars stay per-tensor QParams."""
     conv_names = {n for n, k, _ in spec if k == "conv"}
     a: dict = {}
+    sm: dict = {}
     group_layers = []
     for key in act:
         name = _act_key_to_name(key)
         if name is None:
             continue
         delta = np.asarray(act[key])
-        zp = np.asarray(act[_name_to_act_key(name) + ".zero_point"])
+        zp_key = _name_to_act_key(name) + ".zero_point"
+        if zp_key not in act:
+            # delta-only key: a calibrated log2 softmax delta (the log2
+            # quantizer has no zero point). The reference's own saver drops
+            # these (its len==2 filter, calibration_group_quantization.py:104)
+            # — we persist them so static-log2 configs survive a round-trip.
+            sm[name] = jnp.asarray(delta).reshape(())
+            continue
+        zp = np.asarray(act[zp_key])
         if delta.ndim >= 3:
             if delta.shape[-1] == 1:  # (1, C, 1): mid axis
                 c_mid = delta.shape[-2]
@@ -207,7 +216,7 @@ def act_dict_to_qstate(act: Dict[str, np.ndarray], spec) -> tuple[QState, tuple]
         else:
             a[name] = QParams(jnp.asarray(delta).reshape(()),
                               jnp.asarray(zp).reshape(()))
-    return {"a": a, "sm": {}}, tuple(sorted(group_layers))
+    return {"a": a, "sm": sm}, tuple(sorted(group_layers))
 
 
 def qstate_to_act_dict(qstate: QState, spec) -> Dict[str, np.ndarray]:
@@ -227,6 +236,10 @@ def qstate_to_act_dict(qstate: QState, spec) -> Dict[str, np.ndarray]:
         else:
             out[f"{base}.delta"] = np.asarray(qp.delta)
             out[f"{base}.zero_point"] = np.asarray(qp.zero_point)
+    for name, delta in qstate.get("sm", {}).items():
+        # calibrated log2 softmax deltas: delta-only (no zero point), a key
+        # the reference loader tolerates (strict=False) and its saver omits
+        out[f"{_name_to_act_key(name)}.delta"] = np.asarray(delta)
     return out
 
 

@@ -696,6 +696,18 @@ def attention(
         from dgq_tpu.ops.pallas.attention import fused_attention
 
         v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
+        from dgq_tpu.models.qconfig import _tap, taps_active
+
+        if taps_active():
+            # Calibration collectors need the post-softmax tensor the fused
+            # kernel never materializes (cf. _tap_unfolded for group convs).
+            # Trace-time gated: free in deploy. Matches the XLA path's tap
+            # (sliced past key 0 under start_peak).
+            sc = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32) * scale
+            attn_f = jax.nn.softmax(sc.astype(jnp.float32), axis=-1)
+            _tap(f"{prefix}.aqtizer_w",
+                 attn_f[..., 1:] if start_peak else attn_f)
         if cfg.use_aq and cfg.t2i_log_quant:
             sm_mode = "log2_real_time" if cfg.t2i_real_time else "log2"
             sm_delta = (

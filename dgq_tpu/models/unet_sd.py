@@ -73,7 +73,7 @@ def transformer_2d(p, prefix, x, ehs, n_layers, qstate, cfg, record=None):
     x = group_norm(p[f"{prefix}.norm"], x, eps=1e-6)
     x_in = x
     x = quant_conv2d(p[f"{prefix}.proj_in"], x, f"{prefix}.proj_in", qstate, cfg, 1, 0)
-    _rec(record, f"{prefix}.proj_in", (x_in,), x)
+    x = _rec(record, f"{prefix}.proj_in", (x_in,), x)
     inner = x.shape[-1]
     x = jnp.reshape(x, (b, h * w, inner))
     for i in range(n_layers):
@@ -81,11 +81,11 @@ def transformer_2d(p, prefix, x, ehs, n_layers, qstate, cfg, record=None):
         x = basic_transformer_block(
             p, f"{prefix}.transformer_blocks.{i}", x, ehs, NUM_HEADS, qstate, cfg
         )
-        _rec(record, f"{prefix}.transformer_blocks.{i}", (x_in, ehs), x)
+        x = _rec(record, f"{prefix}.transformer_blocks.{i}", (x_in, ehs), x)
     x = jnp.reshape(x, (b, h, w, inner))
     x_in = x
     x = quant_conv2d(p[f"{prefix}.proj_out"], x, f"{prefix}.proj_out", qstate, cfg, 1, 0)
-    _rec(record, f"{prefix}.proj_out", (x_in,), x)
+    x = _rec(record, f"{prefix}.proj_out", (x_in,), x)
     return x + res
 
 
@@ -165,10 +165,10 @@ def unet_sd_apply(
     base = params["conv_in"]["w"].shape[-1]  # 320 for real SD v1.4
     t_emb = timestep_embedding(timesteps, base).astype(sample.dtype)
     emb = quant_linear(params["time_embedding.linear_1"], t_emb, "time_embedding.linear_1", qstate, cfg)
-    _rec(record, "time_embedding.linear_1", (t_emb,), emb)
+    emb = _rec(record, "time_embedding.linear_1", (t_emb,), emb)
     emb_in = silu(emb)
     emb = quant_linear(params["time_embedding.linear_2"], emb_in, "time_embedding.linear_2", qstate, cfg)
-    _rec(record, "time_embedding.linear_2", (emb_in,), emb)
+    emb = _rec(record, "time_embedding.linear_2", (emb_in,), emb)
 
     # conv_in / conv_out are never quantized (reference quant_model.py:118-124)
     x = conv2d(params["conv_in"], sample, 1, 1)

@@ -55,16 +55,16 @@ def transformer_2d_linear(p, prefix, x, ehs, n_layers, base, qstate, cfg, record
     x = jnp.reshape(x, (b, h * w, c))
     x_in = x
     x = quant_linear(p[f"{prefix}.proj_in"], x, f"{prefix}.proj_in", qstate, cfg)
-    _rec(record, f"{prefix}.proj_in", (x_in,), x)
+    x = _rec(record, f"{prefix}.proj_in", (x_in,), x)
     for i in range(n_layers):
         x_in = x
         x = basic_transformer_block(
             p, f"{prefix}.transformer_blocks.{i}", x, ehs, _heads(c, base), qstate, cfg
         )
-        _rec(record, f"{prefix}.transformer_blocks.{i}", (x_in, ehs), x)
+        x = _rec(record, f"{prefix}.transformer_blocks.{i}", (x_in, ehs), x)
     x_in = x
     x = quant_linear(p[f"{prefix}.proj_out"], x, f"{prefix}.proj_out", qstate, cfg)
-    _rec(record, f"{prefix}.proj_out", (x_in,), x)
+    x = _rec(record, f"{prefix}.proj_out", (x_in,), x)
     x = jnp.reshape(x, (b, h, w, c))
     return x + res
 
@@ -100,19 +100,19 @@ def unet_sdxl_apply(
 
     t_emb = timestep_embedding(timesteps, base).astype(sample.dtype)
     emb = quant_linear(p["time_embedding.linear_1"], t_emb, "time_embedding.linear_1", qstate, cfg)
-    _rec(record, "time_embedding.linear_1", (t_emb,), emb)
+    emb = _rec(record, "time_embedding.linear_1", (t_emb,), emb)
     emb_in = silu(emb)
     emb = quant_linear(p["time_embedding.linear_2"], emb_in, "time_embedding.linear_2", qstate, cfg)
-    _rec(record, "time_embedding.linear_2", (emb_in,), emb)
+    emb = _rec(record, "time_embedding.linear_2", (emb_in,), emb)
 
     time_embeds = timestep_embedding(jnp.reshape(time_ids, (-1,)), add_ch)
     time_embeds = jnp.reshape(time_embeds, (text_embeds.shape[0], -1))
     add_embeds = jnp.concatenate([text_embeds, time_embeds], axis=-1).astype(emb.dtype)
     aug = quant_linear(p["add_embedding.linear_1"], add_embeds, "add_embedding.linear_1", qstate, cfg)
-    _rec(record, "add_embedding.linear_1", (add_embeds,), aug)
+    aug = _rec(record, "add_embedding.linear_1", (add_embeds,), aug)
     aug_in = silu(aug)
     aug = quant_linear(p["add_embedding.linear_2"], aug_in, "add_embedding.linear_2", qstate, cfg)
-    _rec(record, "add_embedding.linear_2", (aug_in,), aug)
+    aug = _rec(record, "add_embedding.linear_2", (aug_in,), aug)
     emb = emb + aug
 
     x = conv2d(p["conv_in"], sample, 1, 1)

@@ -148,6 +148,65 @@ def test_act_ckpt_roundtrip_group(tmp_path, tiny):
     assert float(p.delta) == pytest.approx(0.03)
 
 
+def test_act_ckpt_roundtrip_mixed_axis_stacks(tmp_path, tiny):
+    """The k-means heuristic may pick the mid axis at one timestep and the
+    last axis at another for the SAME layer; round-tripped qstates must still
+    stack into a [T]-leading qstate (ones on the unused axis broadcast)."""
+    spec, params = tiny
+    from dgq_tpu.calib.act_calib import stack_time_qstates
+    from dgq_tpu.quant.affine import QParams
+
+    conv = "down_blocks.0.resnets.0.conv1"
+    ckk = BASE * 9
+    qs_mid = {"a": {conv: GroupQParams(
+        delta_mid=jnp.linspace(0.01, 0.2, ckk), zp_mid=jnp.ones((ckk,)),
+        delta_last=jnp.ones((1,)), zp_last=jnp.zeros((1,)),
+    )}, "sm": {}}
+    qs_last = {"a": {conv: GroupQParams(
+        delta_mid=jnp.ones((1,)), zp_mid=jnp.zeros((1,)),
+        delta_last=jnp.linspace(0.02, 0.1, 64), zp_last=jnp.ones((64,)),
+    )}, "sm": {}}
+    path = str(tmp_path / "act.pth")
+    save_act_ckpt(path, {"act_0": qs_mid, "act_1": qs_last}, spec)
+
+    import torch
+
+    raw = torch.load(path, weights_only=False)
+    per_t = {}
+    for t in ("act_0", "act_1"):
+        per_t[t], _ = act_dict_to_qstate(
+            {k: v.numpy() for k, v in raw[t].items()}, spec)
+    stacked = stack_time_qstates(per_t)
+    g = stacked["a"][conv]
+    assert g.delta_mid.shape == (2, ckk)
+    assert g.delta_last.shape == (2, 64)
+    # the unused axes broadcast to ones
+    assert np.allclose(np.asarray(g.delta_mid[1]), 1.0)
+    assert np.allclose(np.asarray(g.delta_last[0]), 1.0)
+    assert np.allclose(np.asarray(g.delta_mid[0]),
+                       np.linspace(0.01, 0.2, ckk), atol=1e-6)
+
+
+def test_act_ckpt_roundtrip_sm_delta(tmp_path, tiny):
+    """Calibrated log2 softmax deltas (qstate['sm']) must survive the
+    checkpoint round-trip as delta-only keys (the log2 quantizer has no zero
+    point; the reference's own saver drops these entirely)."""
+    spec, params = tiny
+    att_w = "mid_block.attentions.0.transformer_blocks.0.attn1.aqtizer_w"
+    qs = {"a": {}, "sm": {att_w: jnp.asarray(0.125)}}
+    path = str(tmp_path / "act_sm.pth")
+    save_act_ckpt(path, {"act_0": qs}, spec)
+
+    import torch
+
+    raw = torch.load(path, weights_only=False)
+    assert f"model.{att_w}.delta" in raw["act_0"]
+    assert f"model.{att_w}.zero_point" not in raw["act_0"]
+    qs2, _ = act_dict_to_qstate(
+        {k: v.numpy() for k, v in raw["act_0"].items()}, spec)
+    assert float(qs2["sm"][att_w]) == pytest.approx(0.125)
+
+
 def test_merge(tmp_path, tiny):
     spec, params = tiny
     wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)

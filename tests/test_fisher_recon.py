@@ -44,6 +44,26 @@ def test_grad_capture_shape_and_nonzero(tiny):
     assert float(jnp.max(g)) > 1.0
 
 
+def test_grad_capture_nonzero_all_unit_kinds(tiny):
+    """Every reconstruction-unit kind must receive non-trivial injection
+    gradients — a discarded _rec return silently zeroes the Fisher weights
+    for that unit class (transformer blocks / proj / time-embedding were
+    affected: the perturbation never entered the forward graph)."""
+    spec, params, batch = tiny
+    cfg = QConfig(w_bits=4, use_wq=True)
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, cfg)
+    units = [
+        "down_blocks.0.attentions.0.transformer_blocks.0",
+        "down_blocks.0.attentions.0.proj_in",
+        "down_blocks.0.attentions.0.proj_out",
+        "time_embedding.linear_1",
+    ]
+    for unit in units:
+        g = capture_unit_grad(params, pq, batch, unit, cfg)
+        assert float(jnp.max(g)) > 1.0, unit
+
+
 def test_fisher_reconstruction_runs(tiny):
     spec, params, batch = tiny
     cfg = QConfig(w_bits=4, use_wq=True)

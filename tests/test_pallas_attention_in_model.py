@@ -59,3 +59,25 @@ def test_quantized_realtime_path_matches(attn_setup, monkeypatch):
     out = attention(p, "a", x, ehs, heads, qstate, cfg2, start_peak=True)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
         np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+def test_pallas_path_publishes_softmax_tap(attn_setup, monkeypatch):
+    """Calibrating with --pallas_attn must still see the aqtizer_w point: the
+    fused kernel never materializes the softmax, so the tap is published from
+    a trace-time-gated recompute (otherwise softmax quantizers silently
+    vanish from activation checkpoints)."""
+    _patch_interpret(monkeypatch)
+    from dgq_tpu.models.qconfig import collect_act_taps
+
+    p, x, ehs, heads = attn_setup
+    cfg = QConfig(use_pallas_attention=True)
+    taps: dict = {}
+    with collect_act_taps(taps):
+        attention(p, "a", x, ehs, heads, None, cfg)
+    assert "a.aqtizer_w" in taps
+    # the tap is the true post-softmax tensor (matches the XLA path's tap)
+    taps_ref: dict = {}
+    with collect_act_taps(taps_ref):
+        attention(p, "a", x, ehs, heads, None, QConfig())
+    assert np.allclose(np.asarray(taps["a.aqtizer_w"]),
+                       np.asarray(taps_ref["a.aqtizer_w"]), atol=1e-5)
