@@ -77,6 +77,27 @@ def pooled_dim_for(model_type: str, base: Optional[int] = None) -> int:
     return 4 * (base or 320)
 
 
+def _params_fingerprint(params: dict) -> str:
+    """Content hash of the weight pytree for calibration-cache keys: tree
+    structure (paths/shapes) plus a strided value sample per leaf — a few KB
+    hashed, yet it distinguishes synthetic seeds, different checkpoints, and
+    different model widths/depths, all of which change the generated data."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    pairs = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in sorted(pairs, key=lambda kv: str(kv[0])):
+        a = np.asarray(jax.device_get(leaf))
+        h.update(str(path).encode())
+        h.update(str(a.shape).encode())
+        flat = a.ravel()
+        h.update(np.ascontiguousarray(
+            flat[:: max(1, flat.size // 16)][:17], dtype=np.float64).tobytes())
+    return h.hexdigest()[:12]
+
+
 def build_cali_data(
     model_type: str,
     params: dict,
@@ -88,12 +109,22 @@ def build_cali_data(
     seed: int,
     cache_path: Optional[str] = None,
     pooled_dim: Optional[int] = None,
+    cache_prefix: Optional[str] = None,
 ):
     """Generate (or load cached) calibration data for either model family.
 
     Returns (cali_data, interval) where cali_data is the positional UNet
     batch tuple: SD (lmi, t, ehs) with CFG doubling; SDXL-turbo
-    (lmi, t, ehs, text_embeds, time_ids) at guidance 0."""
+    (lmi, t, ehs, text_embeds, time_ids) at guidance 0.
+
+    cache_prefix derives the cache filename HERE, from the actual generation
+    inputs (prompts/steps/resolution/seed and a content fingerprint of the
+    weights) — the single place that can keep the key in sync with what
+    changes the data. cache_path overrides it verbatim (tests)."""
+    if cache_path is None and cache_prefix is not None:
+        cache_path = (
+            f"{cache_prefix}_{model_type}_{steps}steps_n{n_prompts}"
+            f"_hw{latent_hw}_s{seed}_p{_params_fingerprint(params)}.npz")
     if model_type == "sd":
         from dgq_tpu.calib.data import (
             generate_sd_cali_data,

@@ -61,15 +61,11 @@ def main():
     params_q = fold_weight_quant(params, wqp, spec, cfg,
                                  alphas=alphas or None, soft=False)
 
-    # the key must cover everything that changes the generated data (the
-    # docstring contract of calib/data.py): prompts, steps, resolution, seed
-    cache = (f"{args.cali_data_path}_{args.model}_b{args.base}"
-             f"_{args.step_size}steps_n{args.cali_prompt_data_n}"
-             f"_hw{args.latent_hw or latent_hw}_s{args.seed}.npz")
     cali_data, interval = build_cali_data(
         args.model, params, apply_fn, cross, args.cali_prompt_data_n,
         args.step_size, args.latent_hw or latent_hw, args.seed,
-        cache_path=cache, pooled_dim=pooled_dim_for(args.model, args.base),
+        cache_prefix=args.cali_data_path,
+        pooled_dim=pooled_dim_for(args.model, args.base),
     )
     per_t, group_layers = calibrate_activations(
         params_q, spec, cfg, cali_data, interval=interval,

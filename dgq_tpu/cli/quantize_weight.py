@@ -92,14 +92,10 @@ def main():
     latent_hw = args.latent_hw or latent_hw
 
     def cali_data_fn():
-        # key covers everything that changes the generated data (the
-        # docstring contract of calib/data.py)
-        cache = (f"{args.cali_data_path}_{args.model}_b{args.base}"
-                 f"_{args.step_size}steps_n{args.cali_prompt_data_n}"
-                 f"_hw{latent_hw}_s{args.seed}.npz")
         return build_cali_data(
             args.model, params, apply_fn, cross, args.cali_prompt_data_n,
-            args.step_size, latent_hw, args.seed, cache_path=cache,
+            args.step_size, latent_hw, args.seed,
+            cache_prefix=args.cali_data_path,
             pooled_dim=pooled_dim_for(args.model, args.base),
         )
 

@@ -199,7 +199,6 @@ def act_dict_to_qstate(act: Dict[str, np.ndarray], spec) -> tuple[QState, tuple]
         zp = np.asarray(act[zp_key])
         if delta.ndim >= 3:
             if delta.shape[-1] == 1:  # (1, C, 1): mid axis
-                c_mid = delta.shape[-2]
                 a[name] = GroupQParams(
                     delta_mid=jnp.asarray(delta.reshape(-1)),
                     zp_mid=jnp.asarray(zp.reshape(-1)),

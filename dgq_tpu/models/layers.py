@@ -132,9 +132,13 @@ def _group_tap_scales(gqp, c, kh, kw, ho, wo):
     if dl.size == ho * wo:
         dl4 = jnp.reshape(dl, (1, ho, wo, 1))
         zl4 = jnp.reshape(zl, (1, ho, wo, 1))
+    elif dl.size == 1:
+        dl4 = jnp.reshape(dl, (1, 1, 1, 1))
+        zl4 = jnp.reshape(zl, (1, 1, 1, 1))
     else:
-        dl4 = dl.reshape(-1)[:1].reshape(1, 1, 1, 1)
-        zl4 = zl.reshape(-1)[:1].reshape(1, 1, 1, 1)
+        raise ValueError(
+            f"group conv delta_last size {dl.size} is neither H'*W'="
+            f"{ho * wo} nor 1")
     return dm2, zm2, dl4, zl4
 
 

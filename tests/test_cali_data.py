@@ -66,3 +66,32 @@ def test_cali_lmi_is_cfg_doubled_latents(tmp_path):
     )
     chunk = np.asarray(lmi[:interval])
     assert np.allclose(chunk[:2], chunk[2:], atol=1e-6)
+
+
+def test_cache_key_covers_weight_source(tmp_path):
+    """The CLI-facing cache key is derived inside build_cali_data from the
+    actual generation inputs, including a content fingerprint of the weights:
+    two different weight sets with identical flags must NOT share a cache
+    file (stale-cache reuse across --unet_weights / --cali_ckpt sources)."""
+    from dgq_tpu.cli.common import _params_fingerprint, build_cali_data
+    from dgq_tpu.models.unet_sd import unet_sd_apply
+
+    spec = sd_unet_spec(base=BASE, cross=CROSS)
+    p0 = init_unet_sd(jax.random.PRNGKey(0), spec=spec)
+    p1 = init_unet_sd(jax.random.PRNGKey(1), spec=spec)
+    f0, f1 = _params_fingerprint(p0), _params_fingerprint(p1)
+    assert f0 != f1
+    assert f0 == _params_fingerprint(p0)  # deterministic
+
+    prefix = str(tmp_path / "cali")
+    # steps=2 so later chunks carry weight-dependent latents (the steps=1
+    # capture is just the initial noise, identical for any weights)
+    kwargs = dict(n_prompts=2, steps=2, latent_hw=16, seed=0,
+                  cache_prefix=prefix)
+    (lmi0, *_), _ = build_cali_data("sd", p0, unet_sd_apply, CROSS, **kwargs)
+    (lmi1, *_), _ = build_cali_data("sd", p1, unet_sd_apply, CROSS, **kwargs)
+    import glob
+
+    files = sorted(glob.glob(prefix + "*"))
+    assert len(files) == 2, files  # one cache per weight set
+    assert not np.allclose(np.asarray(lmi0), np.asarray(lmi1))
