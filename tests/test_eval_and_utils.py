@@ -69,3 +69,24 @@ def test_spec_cost_sd14_scale():
     # SD v1.4 UNet at 512px is ~340 GMACs / ~680 GFLOPs per forward
     assert 250e9 < cost["macs"] < 450e9, cost["macs"] / 1e9
     assert bops(cost["macs"], 4, 8) == cost["macs"] * 32
+
+
+def test_spec_roofline_sd14():
+    """Speed-of-light model: per-scale breakdown covers the four SD levels,
+    the SOL time dominates both single-resource bounds (it sums per-layer
+    maxima), and the lane-padding tax makes narrow heads strictly slower."""
+    from dgq_tpu.models.unet_sd import sd_unet_spec
+    from dgq_tpu.utils.flops import spec_roofline
+
+    spec = sd_unet_spec()
+    r = spec_roofline(spec, latent_hw=64, batch=8)
+    assert set(r["per_scale"]) == {64, 32, 16, 8}
+    assert r["sol_s"] >= r["compute_s"] > 0
+    assert r["sol_s"] >= r["memory_s"] > 0
+    assert abs(sum(lv["sol_s"] for lv in r["per_scale"].values())
+               - r["sol_s"]) < 1e-9
+    # v5e sanity: one batch-8 forward SOL sits between the pure-compute
+    # bound and the measured 80.8 ms fp floor
+    assert 0.02 < r["sol_s"] < 0.0808
+    no_pad = spec_roofline(spec, latent_hw=64, batch=8, mxu_lane=1)
+    assert no_pad["compute_s"] < r["compute_s"]
