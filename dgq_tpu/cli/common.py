@@ -89,12 +89,17 @@ def _params_fingerprint(params: dict) -> str:
     h = hashlib.md5()
     pairs = jax.tree_util.tree_leaves_with_path(params)
     for path, leaf in sorted(pairs, key=lambda kv: str(kv[0])):
-        a = np.asarray(jax.device_get(leaf))
         h.update(str(path).encode())
-        h.update(str(a.shape).encode())
-        flat = a.ravel()
-        h.update(np.ascontiguousarray(
-            flat[:: max(1, flat.size // 16)][:17], dtype=np.float64).tobytes())
+        h.update(str(leaf.shape).encode())
+        size = leaf.size
+        stride = max(1, size // 16)
+        if isinstance(leaf, np.ndarray):
+            sample = leaf.ravel()[::stride][:17]
+        else:
+            # device array: slice ON device so only the 17-element sample
+            # crosses to host, not the full (possibly GB-scale) tensor
+            sample = jax.device_get(leaf.reshape(-1)[::stride][:17])
+        h.update(np.ascontiguousarray(sample, dtype=np.float64).tobytes())
     return h.hexdigest()[:12]
 
 

@@ -237,7 +237,14 @@ def qstate_to_act_dict(qstate: QState, spec) -> Dict[str, np.ndarray]:
             out[f"{base}.zero_point"] = np.asarray(qp.zero_point)
     for name, delta in qstate.get("sm", {}).items():
         # calibrated log2 softmax deltas: delta-only (no zero point), a key
-        # the reference loader tolerates (strict=False) and its saver omits
+        # the reference loader tolerates (strict=False) and its saver omits.
+        # A point present in BOTH 'a' and 'sm' is ill-formed (a softmax
+        # quantizer is either uniform or log2) and would clobber the 'a'
+        # delta under the shared key — reject it rather than save silently.
+        if name in qstate.get("a", {}):
+            raise ValueError(
+                f"{name} has both a uniform ('a') and a log2 ('sm') "
+                f"quantizer state; the checkpoint key can hold only one")
         out[f"{_name_to_act_key(name)}.delta"] = np.asarray(delta)
     return out
 

@@ -113,6 +113,10 @@ def _group_tap_scales(gqp, c, kh, kw, ho, wo):
         dl, zl = gqp.delta_last, gqp.zp_last
     else:  # plain QParams (scalar or broadcastable): uniform over taps
         dm, zm = gqp.delta.reshape(-1), gqp.zero_point.reshape(-1)
+        # a broadcastable (scalar) zero_point paired with a per-channel
+        # delta is legal QParams — expand it like quant_conv2d's unfold
+        # branch does, so all group_conv_impl choices accept the same qstate
+        zm = jnp.broadcast_to(zm, dm.shape) if zm.size != dm.size else zm
         dl, zl = jnp.ones((1,)), jnp.zeros((1,))
 
     # delta_mid indexes the c-major unfolded axis: k = c*kh*kw + i*kw + j

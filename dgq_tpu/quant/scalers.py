@@ -181,10 +181,11 @@ def logminmax_scale(x: jax.Array, level: int, symmetric: bool, always_zero: bool
 def kl_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> QParams:
     """Histogram-KL clip search (reference quant_layer.py:94-137). Host-side.
 
-    The histogram runs on the input dtype (float32 in practice) — upcasting
+    The histogram runs in float32 (the reference's tensor dtype) — upcasting
     to float64 shifts bin edges enough to select a different clip ratio than
-    the reference."""
-    np_x = np.asarray(x)
+    the reference, while sub-float32 inputs (bf16 taps) break np.histogram's
+    edge math, so the dtype is pinned rather than inherited."""
+    np_x = np.asarray(x, dtype=np.float32)
     ref_hist, ref_bins = np.histogram(np_x, bins=level, density=True)
     sumd = np.sum(np.diff(ref_bins))
     smooth_ref = (ref_hist + 1e-5) / (1.0 + sumd * 1e-5)
@@ -224,8 +225,8 @@ def kl_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> Q
 
 def hist_scale(x: np.ndarray, level: int, symmetric: bool, always_zero: bool) -> QParams:
     """0.9996-mass histogram clip (reference quant_layer.py:140-160). Host-side.
-    Runs on the input dtype (see kl_scale)."""
-    np_x = np.asarray(x)
+    Runs in float32 (see kl_scale)."""
+    np_x = np.asarray(x, dtype=np.float32)
     data_max = max(-np.min(np_x), np.max(np_x))
     h, _ = np.histogram(np_x, bins=level, range=(0, data_max), density=True)
     h = h.astype(np.float32) / h.sum()

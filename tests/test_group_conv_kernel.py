@@ -176,3 +176,30 @@ def test_odd_shapes_blocking():
                            gqp.zp_last.reshape(-1)[0], b, interpret=True)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
         np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+def test_per_channel_delta_scalar_zp_impl_agreement():
+    """QParams with per-channel (C,) delta but a broadcastable SCALAR
+    zero_point (legal affine state): every group_conv_impl must accept it
+    and agree (taps/im2col previously raised reshaping the scalar to (C,1)
+    while unfold broadcast it)."""
+    from dgq_tpu.quant.affine import QParams
+
+    rng = np.random.RandomState(7)
+    c, o = 12, 16
+    p = {"w": jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.randn(o).astype(np.float32) * 0.1)}
+    x = jnp.asarray(rng.randn(2, 12, 12, c).astype(np.float32))
+    qp = QParams(
+        delta=jnp.asarray(rng.uniform(0.02, 0.08, (c,)).astype(np.float32)),
+        zero_point=jnp.asarray(128.0),
+    )
+    qstate = {"a": {"L": qp}, "sm": {}}
+    cfg = QConfig(a_bits=8, use_aq=True, group_conv_layers=("L",))
+    outs = {
+        impl: np.asarray(quant_conv2d(
+            p, x, "L", qstate, cfg.replace(group_conv_impl=impl), 1, 1))
+        for impl in ("taps", "im2col", "unfold")
+    }
+    for impl in ("im2col", "unfold"):
+        assert np.allclose(outs[impl], outs["taps"], atol=2e-3), \
+            (impl, np.abs(outs[impl] - outs["taps"]).max())

@@ -206,3 +206,19 @@ def test_ema_range_qparams():
     qp = minmax_qparams_from_range(jnp.asarray(-1.0), jnp.asarray(3.0), bits=8)
     assert np.isclose(float(qp.delta), 4.0 / 255.0)
     assert float(qp.zero_point) == 64.0
+
+
+def test_hist_kl_scalers_accept_bf16():
+    """hist/kl run their histograms host-side pinned to float32: a bfloat16
+    calibration tap (the deploy dtype) must neither crash np.histogram nor
+    collapse the KL bin edges; the result must match the float32 run."""
+    from dgq_tpu.quant.scalers import Scaler, init_scale
+
+    x32 = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (512,))) * 2.0
+    xb = x32.astype(jnp.bfloat16)
+    for scaler in (Scaler.HIST, Scaler.KL):
+        qb = init_scale(xb, 8, scaler)
+        q32 = init_scale(xb.astype(jnp.float32), 8, scaler)
+        assert np.isclose(float(qb.delta), float(q32.delta), rtol=1e-6)
+        assert np.isclose(float(qb.zero_point), float(q32.zero_point),
+                          rtol=1e-6)
