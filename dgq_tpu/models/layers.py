@@ -483,9 +483,14 @@ def _int8_matmul(p, x2, qp, cfg):
     from dgq_tpu.ops.pallas.int8_matmul import quantized_matmul
 
     off = 2 ** (cfg.a_bits - 1)
+    # round the zero point before code construction: the kernel truncates
+    # codes with astype(int8), so a fractional zp would bias every stored
+    # code by -frac(zp) while the epilogue still corrects with the exact zp
+    # (the XLA sibling below rounds for the same reason)
+    zp = jnp.round(qp.zero_point.astype(jnp.float32))
     return quantized_matmul(
         x2, p["w_q8"], p["w_d"], p["w_z"],
-        qp.delta.astype(jnp.float32), qp.zero_point.astype(jnp.float32) - off,
+        qp.delta.astype(jnp.float32), zp - off,
         p.get("b"), a_bits=cfg.a_bits, out_dtype=x2.dtype,
     )
 
@@ -726,6 +731,10 @@ def attention(
                 sm_mode = "none"
         elif cfg.use_aq and (qstate or {}).get("a", {}).get(f"{prefix}.aqtizer_w") is not None:
             sm_mode = "uniform"
+            # the kernel quantizes with implicit zero_point=0, which is
+            # exact for aqtizer_w: the reference constructs it always_zero
+            # (quant_block.py:145-156 -> quant_layer.py:37, zp pinned to 0),
+            # and softmax_q_apply passes always_zero=True for the same point
             sm_delta = qstate["a"][f"{prefix}.aqtizer_w"].delta
         else:
             sm_mode, sm_delta = "none", None

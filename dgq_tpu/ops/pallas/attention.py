@@ -38,32 +38,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _log2_quant_bits(p, delta, level):
-    """round(-log2(p/delta)) clamp [0, level-1] then 2^-q * delta — computed
-    with float bit manipulation instead of transcendentals (log2/exp2 cost
-    ~2 VPU transcendental ops per element; this is shifts and compares).
-
-    For y = m * 2^e (m in [1,2)): round(log2(y)) = e + (m >= sqrt(2)).
-    """
-    y = (p / delta).astype(jnp.float32)
-    bits = jax.lax.bitcast_convert_type(y, jnp.int32)
-    e = (bits >> 23) - 127
-    mant_ge_sqrt2 = (bits & 0x007FFFFF) >= 0x003504F3  # mantissa of sqrt(2)
-    rlog2 = e + mant_ge_sqrt2.astype(jnp.int32)        # round(log2(y)), y<=1 -> <=0
-    q = jnp.clip(-rlog2, 0, level - 1)
-    # exponent-field construction of 2^-q is only valid for q <= 126; beyond
-    # that f32 underflows to 0 (the reference's 2.0**-q does the same)
-    pow2 = jax.lax.bitcast_convert_type(jnp.maximum(127 - q, 0) << 23, jnp.float32)
-    pow2 = jnp.where(q > 126, 0.0, pow2)
-    return pow2 * delta
-
-
 # -------------------------------------------------- shared loop bodies ------
-def _stats_loop(q, k_ref, *, scale, s_valid, block_s):
+def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False):
     """Phase-1 loop: per-row running (max m, normalizer l) over key blocks.
 
     Shared by the standalone stats kernel and the merged static-delta kernel
     so masking/online-update fixes land in exactly one place.
+
+    track_nonpeak_max additionally carries m2 = per-row score max EXCLUDING
+    key position 0: under start_peak the reference slices column 0 off
+    BEFORE the real_time quantizer, so its dynamic delta is the largest
+    NON-PEAK probability, exp(m2 - m)/l — 1/min(l) (the global max including
+    the peak) would pick a delta ~1 whenever the start token dominates,
+    which is exactly the situation start_peak exists for.
     """
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
@@ -72,22 +59,29 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s):
     needs_mask = s_valid < s_total
 
     def body(j, carry):
-        m, l = carry
+        m, l, m2 = carry
         k = k_ref[0, pl.ds(j * block_s, block_s), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        if needs_mask:
+        col = None
+        if needs_mask or track_nonpeak_max:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+        if needs_mask:
             s = jnp.where(col < s_valid, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
-        return m_new, l
+        if track_nonpeak_max:
+            s2 = jnp.where(col == 0, NEG_INF, s)
+            m2 = jnp.maximum(m2, jnp.max(s2, axis=1, keepdims=True))
+        return m_new, l, m2
 
     bt = q.shape[0]
     m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bt, 1), jnp.float32)
-    return jax.lax.fori_loop(0, n_blocks, body, (m0, l0))
+    m20 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    m, l, m2 = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, m20))
+    return (m, l, m2) if track_nonpeak_max else (m, l)
 
 
 def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
@@ -134,8 +128,14 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
         else:
             pq = jnp.exp(s - m) * inv_l
         if start_peak:
-            # key position 0 is restored unquantized (sd.py:191-195)
-            pq = jnp.where(col == 0, jnp.exp(s - m) * inv_l, pq)
+            # key position 0 is restored unquantized (sd.py:191-195).
+            # Only the first column can match, so the exact probability is
+            # computed for that single column — a (bt, 1) exp — instead of
+            # re-materializing exp(s - m)/l over the whole block (which
+            # would reintroduce the full transcendental cost the log2
+            # bit-trick path eliminates).
+            p0 = jnp.exp(s[:, 0:1] - m) * inv_l
+            pq = jnp.where(col == 0, p0, pq)
         if needs_mask:
             pq = jnp.where(col < s_valid, pq, 0.0)
         v = v_ref[0, pl.ds(j * block_s, block_s), :]
@@ -156,6 +156,18 @@ def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
                        block_s=block_s)
     o_m_ref[0] = m
     o_l_ref[0] = l
+
+
+def _stats_kernel_nonpeak(q_ref, k_ref, o_m_ref, o_l_ref, o_p2_ref, *,
+                          scale, s_valid, block_s):
+    """Stats kernel variant for start_peak real_time: also emits the per-row
+    largest NON-PEAK probability exp(m2 - m)/l (column 0 excluded), whose
+    global max is the reference's dynamic delta for the sliced tensor."""
+    m, l, m2 = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
+                           block_s=block_s, track_nonpeak_max=True)
+    o_m_ref[0] = m
+    o_l_ref[0] = l
+    o_p2_ref[0] = jnp.exp(m2 - m) / l
 
 
 # ------------------------------------------------------------- phase 2 ------
@@ -284,7 +296,7 @@ def fused_attention(
                 transcendentals=bh * tp * sp,
             ),
         )(
-            qp.reshape(bh, tp, dp), kp.reshape(bh, sp, dp), vp.reshape(bh, sp, dp)
+            qp, kp, vp
         )
         return out[:, :t, :d]
 
@@ -315,41 +327,40 @@ def fused_attention(
         )(qp, kp, vp, delta_arr)
         return out[:, :t, :d]
 
-    # ---- quantized path: phase 1 stats ----
-    m, l = pl.pallas_call(
-        functools.partial(_stats_kernel, **common),
+    # ---- log2_real_time: two passes (delta is a GLOBAL reduction) ----
+    assert sm_mode == "log2_real_time", f"unknown sm_mode {sm_mode!r}"
+    stats_fn = _stats_kernel_nonpeak if start_peak else _stats_kernel
+    row_spec = pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32)
+    n_out = 3 if start_peak else 2
+    stats = pl.pallas_call(
+        functools.partial(stats_fn, **common),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
-        ),
+        out_specs=(row_spec,) * n_out,
+        out_shape=(row_shape,) * n_out,
         interpret=interpret,
     )(qp, kp)
+    m, l = stats[0], stats[1]
 
-    if sm_mode == "log2_real_time":
-        # reference real_time: delta = max of the softmax tensor = 1/min(l)
-        l_valid = jnp.where(
-            (jnp.arange(tp) < t)[None, :, None], l, jnp.inf
-        )
-        delta = 1.0 / jnp.min(l_valid)
-        mode = "log2"
+    row_valid = (jnp.arange(tp) < t)[None, :, None]
+    if start_peak:
+        # reference real_time under start_peak: column 0 is sliced off
+        # BEFORE the quantizer (sd.py:191-195), so its dynamic delta is the
+        # largest NON-PEAK probability — max over rows of exp(m2 - m)/l
+        delta = jnp.max(jnp.where(row_valid, stats[2], 0.0))
     else:
-        assert sm_delta is not None, "static softmax quant needs sm_delta"
-        delta = sm_delta.astype(jnp.float32)
-        mode = "log2" if sm_mode == "log2" else "uniform"
+        # reference real_time: delta = max of the softmax tensor = 1/min(l)
+        delta = 1.0 / jnp.min(jnp.where(row_valid, l, jnp.inf))
 
     delta_arr = jnp.reshape(delta, (1, 1)).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(
-            _accum_kernel, **common, sm_mode=mode, sm_bits=sm_bits,
+            _accum_kernel, **common, sm_mode="log2", sm_bits=sm_bits,
             start_peak=start_peak,
         ),
         grid=grid,
@@ -380,7 +391,12 @@ def attention_reference(q, k, v, scale, sm_mode="none", sm_bits=8,
     p = jax.nn.softmax(s, axis=-1)
     level = 2 ** sm_bits
     if sm_mode != "none":
-        delta = jnp.max(p) if sm_mode == "log2_real_time" else sm_delta
+        if sm_mode == "log2_real_time":
+            # start_peak slices column 0 off BEFORE the quantizer
+            # (sd.py:191-195), so the dynamic delta excludes the peak
+            delta = jnp.max(p[..., 1:]) if start_peak else jnp.max(p)
+        else:
+            delta = sm_delta
         if sm_mode in ("log2", "log2_real_time"):
             pq = 2.0 ** (-jnp.clip(jnp.round(-jnp.log2(p / delta)), 0, level - 1)) * delta
         else:

@@ -36,6 +36,12 @@ dataflow win. The deploy default is therefore group_conv_impl='taps';
 this kernel stays available ('fused'), parity-tested, as the documented
 experiment and the starting point if XLA's fusion behavior changes.
 
+(The ladder above was measured with in-kernel dequantize arithmetic; the
+kernel has since adopted the same algebraic dequant fold as the taps path
+— dm*dl folded into the resident weights, shifted-clip integer codes on
+the MXU feed — cutting the per-tap VPU work from ~7 to ~4 ops/element.
+Parity-verified; its end-to-end number awaits re-measurement.)
+
 Layout: NHWC x, pre-padded to 8-aligned W and 128-aligned C; weights
 reshaped to (kh*kw, C, O) with O padded to 128. Stride-1 only — stride-2
 group convs (the three downsamplers, ~2% of conv FLOPs) stay on the
@@ -65,16 +71,23 @@ def _pick_block_o(kh: int, kw: int, cp: int, op: int, dtype_bytes: int = 2):
     return None
 
 
-def _kernel(x_hbm, w_hbm, rd_ref, dm_ref, zm_ref, dl_ref, zl_ref, b_ref, o_hbm,
+def _kernel(x_hbm, w_hbm, rd_ref, z_ref, b_ref, o_hbm,
             wt_ref, band0, band1, stage0, stage1, sem_w, sem_x, sem_o, *,
             kh, kw, bh, w_out, h_blocks, nbatch, a_bits, bo):
     """One O tile: all input bands stream through this program.
 
     Band buffers and output stages are double-buffered; the fori_loop body
-    processes two bands per step so buffer selection stays static."""
+    processes two bands per step so buffer selection stays static.
+
+    The dequantize half of fake-quant is folded away algebraically, same as
+    the taps path (models/layers.py group_quant_conv2d_taps): dm*dl is
+    pre-folded into the resident weights, the zero point lives in the clip
+    BOUNDS (shifted-clip codes, so it telescopes out of the tap sum), and
+    the MXU is fed exact integer codes in bf16 — ~4 input-sized VPU ops per
+    tap (mul, round, two clips) instead of ~7, and no bf16 rounding of
+    dequantized values."""
     oi = pl.program_id(0)
     qmax = float(2 ** a_bits - 1)
-    rdl_scale = 1.0 / dl_ref[0, 0]
     nb = nbatch * h_blocks
     bands = (band0, band1)
     stages = (stage0, stage1)
@@ -107,14 +120,13 @@ def _kernel(x_hbm, w_hbm, rd_ref, dm_ref, zm_ref, dl_ref, zl_ref, b_ref, o_hbm,
         for t in range(kh * kw):
             i, j = t // kw, t % kw
             xs = bands[buf][i : i + bh, j : j + w_out, :]
-            rd = rd_ref[t, :] * rdl_scale  # 1/(dm*dl): no VPU divides
-            d = dm_ref[t, :] * dl_ref[0, 0]
-            z = zm_ref[t, :] + zl_ref[0, 0]
-            xq = jnp.clip(jnp.round(xs.astype(jnp.float32) * rd) + z,
-                          0.0, qmax)
-            xdq = ((xq - z) * d).reshape(bh * w_out, -1).astype(wt_ref.dtype)
+            rd = rd_ref[t, :]          # 1/(dm*dl): no VPU divides
+            z = z_ref[t, :]            # zm + zl, in the clip bounds only
+            xq = jnp.clip(jnp.round(xs.astype(jnp.float32) * rd),
+                          -z, qmax - z)
+            xm = xq.reshape(bh * w_out, -1).astype(wt_ref.dtype)
             acc = acc + jax.lax.dot_general(
-                xdq, wt_ref[t],
+                xm, wt_ref[t],        # weights carry the dm*dl fold
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -199,8 +211,15 @@ def group_quant_conv(
     if op != o:
         bias = jnp.pad(jnp.asarray(bias), (0, op - o))
 
-    w_t = jnp.reshape(w, (kh * kw, cp, op)).astype(x.dtype)
-    rd = 1.0 / dm.astype(jnp.float32)
+    dmf = dm.astype(jnp.float32)
+    dlf = dl.reshape(()).astype(jnp.float32)
+    # fold dm*dl into the weights (f32, then the MXU feed dtype) so the
+    # kernel contracts exact integer codes — the taps-path fold
+    # (models/layers.py) applied to the streamed kernel
+    w_t = (jnp.reshape(w, (kh * kw, cp, op)).astype(jnp.float32)
+           * (dmf * dlf)[:, :, None]).astype(x.dtype)
+    rd = 1.0 / (dmf * dlf)
+    z = zm.astype(jnp.float32) + zl.reshape(()).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_kernel, kh=kh, kw=kw, bh=bh, w_out=w_out,
@@ -210,13 +229,9 @@ def group_quant_conv(
             pl.BlockSpec(memory_space=pltpu.ANY),   # x: streamed in-kernel
             pl.BlockSpec(memory_space=pltpu.ANY),   # w: tile set per program
             pl.BlockSpec((kh * kw, cp), lambda oi: (0, 0),
-                         memory_space=pltpu.VMEM),  # rd = 1/dm
+                         memory_space=pltpu.VMEM),  # rd = 1/(dm*dl)
             pl.BlockSpec((kh * kw, cp), lambda oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh * kw, cp), lambda oi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda oi: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda oi: (0, 0), memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),  # z = zm + zl
             pl.BlockSpec((1, bo), lambda oi: (0, oi),
                          memory_space=pltpu.VMEM),
         ],
@@ -240,10 +255,7 @@ def group_quant_conv(
                 + kh * kw * cp * op * 2 + b * h_out * w_out * op * 2),
             transcendentals=0,
         ),
-    )(xp, w_t, rd,
-      dm.astype(jnp.float32), zm.astype(jnp.float32),
-      dl.reshape(1, 1).astype(jnp.float32), zl.reshape(1, 1).astype(jnp.float32),
-      bias.reshape(1, -1).astype(jnp.float32))
+    )(xp, w_t, rd, z, bias.reshape(1, -1).astype(jnp.float32))
     return out[..., :o]
 
 

@@ -136,3 +136,36 @@ class TestFusedAttention:
         m = jnp.max(s, axis=-1, keepdims=True)
         l = jnp.sum(jnp.exp(s - m), axis=-1)
         assert np.isclose(float(jnp.max(p)), float(1.0 / jnp.min(l)), rtol=1e-6)
+
+    def test_start_peak_dominant_column0(self):
+        """The reference computes the real_time delta AFTER slicing key 0 off
+        (sd.py:191-195): when the start token dominates every row — the very
+        situation start_peak exists for — the delta must be the largest
+        NON-PEAK probability, not ~1. Constructed so column 0 holds the
+        global max by a wide margin."""
+        t, s, d = 32, 77, 40
+        rng = np.random.RandomState(11)
+        q = jnp.asarray(rng.randn(1, t, d).astype(np.float32) * 0.5)
+        k = np.asarray(rng.randn(1, s, d).astype(np.float32) * 0.5)
+        k[:, 0, :] = 30.0 * np.sign(rng.randn(d))  # peak scores at key 0
+        k = jnp.asarray(k)
+        v = jnp.asarray(rng.randn(1, s, d).astype(np.float32))
+        scale = d ** -0.5
+
+        # sanity: column 0 really is the global softmax max
+        p = jax.nn.softmax(jnp.einsum(
+            "btd,bsd->bts", q, k) * scale, axis=-1)
+        assert float(jnp.max(p[..., 0])) > 10 * float(jnp.max(p[..., 1:]))
+
+        ref = attention_reference(q, k, v, scale, sm_mode="log2_real_time",
+                                  start_peak=True)
+        out = fused_attention(q, k, v, scale, sm_mode="log2_real_time",
+                              start_peak=True, block_t=32, block_s=128,
+                              interpret=True)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+            np.abs(np.asarray(out) - np.asarray(ref)).max()
+        # and a delta computed over ALL columns (the old 1/min(l)) would NOT
+        # reproduce the reference: quantizing with delta ~= 1 collapses the
+        # non-peak probabilities onto a grid two orders of magnitude coarser
+        delta_all = jnp.max(p)
+        assert float(delta_all) > 10 * float(jnp.max(p[..., 1:]))
