@@ -255,14 +255,25 @@ def inception_pool3(params: Dict, x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))
 
 
+# module-level jitted entry points: a fresh jax.jit wrapper per call would
+# retrace + recompile the 94-conv network on every invocation (eval_scores
+# calls fid_features twice: generated + reference images)
+_jit_pool3 = jax.jit(inception_pool3)
+
+
+@jax.jit
+def _jit_probs(p, x):
+    feats = inception_pool3(p, x)
+    return jax.nn.softmax(feats @ p["fc"]["w"] + p["fc"]["b"], axis=-1)
+
+
 def fid_features(params: Dict, images, batch_size: int = 32) -> np.ndarray:
     """Images -> (N, 2048) features, batched through a jitted forward."""
-    fwd = jax.jit(inception_pool3)
     out = []
     images = np.asarray(images)
     for i in range(0, len(images), batch_size):
         x = preprocess_images(images[i : i + batch_size])
-        out.append(np.asarray(fwd(params, x)))
+        out.append(np.asarray(_jit_pool3(params, x)))
     return np.concatenate(out, axis=0)
 
 
@@ -273,17 +284,11 @@ def inception_probs(params: Dict, images, batch_size: int = 32) -> np.ndarray:
     if "fc" not in params:
         raise ValueError("params have no fc head; load a full pt_inception "
                          "checkpoint to compute IS")
-
-    def fwd(p, x):
-        feats = inception_pool3(p, x)
-        return jax.nn.softmax(feats @ p["fc"]["w"] + p["fc"]["b"], axis=-1)
-
-    fwd = jax.jit(fwd)
     out = []
     images = np.asarray(images)
     for i in range(0, len(images), batch_size):
         x = preprocess_images(images[i : i + batch_size])
-        out.append(np.asarray(fwd(params, x)))
+        out.append(np.asarray(_jit_probs(params, x)))
     return np.concatenate(out, axis=0)
 
 

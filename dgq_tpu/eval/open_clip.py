@@ -118,7 +118,10 @@ def preprocess_images(images: np.ndarray, size: int = 224) -> jax.Array:
     n, h, w, _ = x.shape
     scale = size / min(h, w)
     nh, nw = round(h * scale), round(w * scale)
-    x = jax.image.resize(x, (n, nh, nw, 3), "bicubic")
+    # bicubic overshoots outside [0,1] at edges; torchvision resizes the
+    # uint8 PIL image (clamped to [0,255]) before ToTensor, so clamp to
+    # match the open_clip transform
+    x = jnp.clip(jax.image.resize(x, (n, nh, nw, 3), "bicubic"), 0.0, 1.0)
     top, left = (nh - size) // 2, (nw - size) // 2
     x = x[:, top:top + size, left:left + size, :]
     return (x - OPENAI_MEAN) / OPENAI_STD

@@ -40,7 +40,13 @@ def _load_tokenizer(root: str, sub: str):
         from transformers import CLIPTokenizer
 
         return CLIPTokenizer.from_pretrained(path)
-    except Exception:
+    except Exception as e:
+        # graceful degrade (the pipeline reports missing-tokenizer later),
+        # but keep the real cause discoverable instead of swallowing it
+        import logging
+
+        logging.getLogger("dgq_tpu").warning(
+            "tokenizer load failed at %s: %r", path, e)
         return None
 
 

@@ -29,6 +29,19 @@ def timestep_slot(t: jax.Array, num_inference_steps: int) -> jax.Array:
     return ((1000 - t) // (1000 // num_inference_steps)).astype(jnp.int32)
 
 
+def check_time_aware_steps(num_inference_steps: int, time_aware: bool,
+                           qstate) -> None:
+    """The reference's slot formula assumes 1000 % steps == 0; for any other
+    step count it indexes slots that were never calibrated (its loader
+    KeyErrors on the missing 'act_{i}'). dynamic_index_in_dim would instead
+    CLAMP out-of-range slots — a silent wrong answer — so reject loudly."""
+    if time_aware and qstate is not None and 1000 % num_inference_steps:
+        raise ValueError(
+            f"time-aware qstates require num_inference_steps dividing 1000 "
+            f"(got {num_inference_steps}): the reference slot map "
+            f"(calibration.py:300-304) is undefined otherwise")
+
+
 def select_time_qstate(qstate: QState, t: jax.Array, steps: int) -> QState:
     """Pick the per-timestep slice from stacked [T_slots, ...] activation
     qparams. Non-stacked entries (weights already folded) pass through."""
@@ -67,7 +80,7 @@ def sd_sample(
     the counterpart of the reference's callback_on_step_end capture
     (src/dataset_generation.py:21-58).
     """
-    b = latents.shape[0]
+    check_time_aware_steps(num_inference_steps, time_aware, qstate)
     ehs = jnp.concatenate([ehs_uncond, ehs_text], axis=0)
 
     def eps_fn(x, t, qs):
@@ -129,6 +142,7 @@ def sdxl_turbo_sample(
 
     latents: (B, 128, 128, 4) NHWC noise ~N(0,1) (scaled by sigma_max here).
     """
+    check_time_aware_steps(num_inference_steps, time_aware, qstate)
     consts = sch.make_euler(num_inference_steps)
     x = latents * consts.sigmas[0]
 

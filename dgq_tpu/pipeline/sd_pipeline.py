@@ -165,4 +165,7 @@ class SDXLTurboPipeline:
         )
         if self.vae_params is None:
             return np.asarray(final)
-        return latents_to_images(vae_decode(self.vae_params, final))
+        from dgq_tpu.pipeline.vae import SDXL_VAE_SCALE
+
+        return latents_to_images(
+            vae_decode(self.vae_params, final, scale=SDXL_VAE_SCALE))

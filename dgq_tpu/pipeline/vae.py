@@ -18,6 +18,10 @@ import numpy as np
 from dgq_tpu.models.layers import conv2d, group_norm, silu, upsample_nearest2x
 
 SD_VAE_SCALE = 0.18215
+# SDXL's AutoencoderKL was trained with a different latent scaling factor
+# (sdxl-turbo vae/config.json scaling_factor) — decoding SDXL latents with
+# the SD scale washes every pixel by ~0.715x
+SDXL_VAE_SCALE = 0.13025
 
 # fused_attention holds the whole padded K and V in VMEM per program; with
 # double buffering the footprint is ~2x (K+V). Decodes whose K+V exceed this

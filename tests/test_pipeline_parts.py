@@ -235,3 +235,35 @@ def test_vae_spec_param_count_full():
             n += 2 * c
     # SD VAE decoder ~49.5M params
     assert 45e6 < n < 55e6, n
+
+
+def test_time_aware_rejects_nondividing_steps():
+    """The reference slot map act_{(1000-t)//(1000//steps)} is undefined when
+    steps does not divide 1000 (its loader KeyErrors on the missing chunk);
+    dynamic_index_in_dim would silently clamp instead, so the samplers must
+    reject loudly."""
+    from dgq_tpu.pipeline.sampler import check_time_aware_steps, sd_sample
+
+    qs = {"a": {}, "sm": {}}
+    with pytest.raises(ValueError, match="dividing 1000"):
+        check_time_aware_steps(30, True, qs)
+    check_time_aware_steps(30, True, None)   # fp run: fine
+    check_time_aware_steps(25, True, qs)     # reference SD default: fine
+    with pytest.raises(ValueError, match="dividing 1000"):
+        sd_sample({}, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 77, 64)),
+                  jnp.zeros((1, 77, 64)), num_inference_steps=30,
+                  time_aware=True, qstate=qs)
+
+
+def test_sdxl_pipeline_uses_sdxl_vae_scale():
+    """SDXL's AutoencoderKL scaling_factor is 0.13025, not SD's 0.18215 —
+    decoding SDXL latents with the SD scale washes every pixel by ~0.715x."""
+    from dgq_tpu.pipeline.vae import SD_VAE_SCALE, SDXL_VAE_SCALE
+    import inspect
+
+    from dgq_tpu.pipeline import sd_pipeline
+
+    assert SDXL_VAE_SCALE == pytest.approx(0.13025)
+    assert SD_VAE_SCALE == pytest.approx(0.18215)
+    src = inspect.getsource(sd_pipeline.SDXLTurboPipeline)
+    assert "SDXL_VAE_SCALE" in src
