@@ -352,13 +352,34 @@ def stack_time_qstates(per_t: Dict[str, QState]) -> QState:
     spread heuristic may pick the mid axis at one timestep and the last axis
     at another for the same layer (reference quant_layer.py:352-360 does so
     per-call), leaving the UNUSED GroupQParams axis as size-(1,) ones on one
-    side and full-length values on the other — ones broadcast losslessly."""
+    side and full-length values on the other — ones broadcast losslessly.
+    Such mixed-axis layers are logged: the broadcast gives every slot a
+    full-length delta_last, which disqualifies the layer from the fused
+    group-conv kernel's scalar-last gate (--group_impl fused falls back to
+    taps for it at every timestep, not just the mixed one)."""
     n = len(per_t)
     ordered = [per_t[f"act_{i}"] for i in range(n)]
 
     def stack(*xs):
         shape = np.broadcast_shapes(*[jnp.shape(x) for x in xs])
         return jnp.stack([jnp.broadcast_to(x, shape) for x in xs])
+
+    from dgq_tpu.models.qconfig import GroupQParams
+
+    mixed = sorted(
+        name
+        for name in ordered[0].get("a", {})
+        if isinstance(ordered[0]["a"][name], GroupQParams)
+        and len({
+            int(np.asarray(q["a"][name].delta_last).size > 1) for q in ordered
+        }) > 1
+    )
+    if mixed:
+        import logging
+
+        logging.getLogger("dgq_tpu").info(
+            "mixed-axis group layers (k-means picked different axes across "
+            "timesteps; fused kernel ineligible, taps path used): %s", mixed)
 
     return jax.tree.map(stack, *[
         {k: v for k, v in q.items() if k in ("a", "sm")} for q in ordered

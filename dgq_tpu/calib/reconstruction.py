@@ -189,11 +189,17 @@ def reconstruct_unit_act_deltas(
             "sm": qstate_unit.get("sm", {})}, losses
 
 
-@partial(jax.jit, static_argnames=("unit_name", "cfg", "unet_apply"))
-def _capture_jit(params, batch, unit_name: str, cfg: QConfig, unet_apply):
+@partial(jax.jit,
+         static_argnames=("unit_name", "cfg", "unet_apply", "want_inputs"))
+def _capture_jit(params, batch, unit_name: str, cfg: QConfig, unet_apply,
+                 want_inputs: bool = True):
     rec: dict = {}
     unet_apply(params, *batch, qstate=None, cfg=cfg, record=rec)
-    return rec[unit_name]
+    ins, out = rec[unit_name]
+    # want_inputs=False returns the output alone so XLA DCEs the input
+    # collection too (the asym path replaces inputs with the quantized-prefix
+    # capture, so transferring the FP inputs to host is pure waste)
+    return (ins, out) if want_inputs else ((), out)
 
 
 def capture_unit_io(
@@ -202,15 +208,18 @@ def capture_unit_io(
     unit_name: str,
     cfg: QConfig,
     unet_apply=unet_sd_apply,
+    want_inputs: bool = True,
 ):
     """Run the UNet on one calibration batch and return (inputs, output) of
     `unit_name`. Everything after the unit is DCE'd by XLA (the compiled
-    analogue of the reference's StopForwardException early exit).
+    analogue of the reference's StopForwardException early exit);
+    want_inputs=False additionally DCEs the inputs (inputs come back ()).
 
     cali_batch: positional UNet conditioning tensors after `params` — SD is
     (sample, t, ehs); SDXL is (sample, t, ehs, text_embeds, time_ids)."""
     return _capture_jit(params, tuple(cali_batch), unit_name=unit_name,
-                        cfg=cfg, unet_apply=unet_apply)
+                        cfg=cfg, unet_apply=unet_apply,
+                        want_inputs=want_inputs)
 
 
 def _sub_params(params: dict, unit: ReconUnit) -> dict:
@@ -490,16 +499,19 @@ def calibrate_weights(
         # time_emb_proj behaves quantized at deploy; leaving it FP while its
         # conv1/conv2 alphas optimize would bias the learned rounding), not
         # just in the asym prefix.
+        # reconstruct_tib indexed wqp[n] for every tib layer, so all are
+        # present by construction
         params_units = fold_weight_quant(
-            params, {k: wqp[k] for k in tib_layers if k in wqp}, spec, cfg,
+            params, {k: wqp[k] for k in tib_layers}, spec, cfg,
             alphas=tib_alphas, soft=False,
         )
 
-    def batched_capture(p, unit_name):
+    def batched_capture(p, unit_name, want_inputs=True):
         ins, outs = None, None
         for i in range(0, n, capture_batch):
             batch = tuple(x[i : i + capture_batch] for x in cali_data)
-            (bi, bo) = capture_unit_io(p, batch, unit_name, cfg, unet_apply)
+            (bi, bo) = capture_unit_io(p, batch, unit_name, cfg, unet_apply,
+                                       want_inputs=want_inputs)
             bi = tuple(np.asarray(x) for x in bi)
             bo = np.asarray(bo)
             if ins is None:
@@ -515,9 +527,13 @@ def calibrate_weights(
     for u_idx, unit in enumerate(units):
         if progress:
             progress(f"[{u_idx + 1}/{len(units)}] reconstructing {unit.name}")
-        # FP outputs
-        fp_inputs, fp_out = batched_capture(params, unit.name)
-        if asym and all_alphas:
+        # the asym path replaces the FP inputs with the quantized-prefix
+        # capture below — skip collecting them (XLA DCEs the collection,
+        # saving one full device->host input transfer per unit)
+        replace_inputs = asym and all_alphas
+        fp_inputs, fp_out = batched_capture(
+            params, unit.name, want_inputs=not replace_inputs)
+        if replace_inputs:
             # inputs from the quantized prefix (hard rounding for frozen units)
             pq = fold_weight_quant(
                 params, {k: wqp[k] for k in all_alphas}, spec, cfg,
