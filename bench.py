@@ -231,14 +231,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="sd", choices=["sd", "sdxl"])
     ap.add_argument("--batch", type=int, default=4, help="images per run (CFG doubles UNet batch)")
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="denoising steps (default: 50 for sd, 4 for sdxl)")
     ap.add_argument("--wq", type=int, default=4, choices=[4, 8],
                     help="weight bits (BASELINE configs use W4/W8)")
     ap.add_argument("--aq", type=int, default=8, choices=[6, 8],
                     help="activation bits (A6 = BASELINE config 4)")
     ap.add_argument("--scheduler", default="ddim", choices=["ddim", "pndm"])
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     ap.add_argument("--no-time-aware", action="store_true")
     ap.add_argument("--no-pallas-attn", action="store_true",
                     help="use the XLA materialized-softmax path")
@@ -270,9 +272,10 @@ def main():
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the extra g8 measurement")
     args = ap.parse_args()
+    # per-model default; an explicitly passed --steps is always honored
+    if args.steps is None:
+        args.steps = 4 if args.model == "sdxl" else 50
     if args.model == "sdxl":
-        if args.steps == 50:
-            args.steps = 4
         return bench_sdxl(args)
 
     import copy

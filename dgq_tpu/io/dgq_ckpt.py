@@ -294,8 +294,14 @@ def save_merged(path: str, params, wqp, spec, per_t: Dict[str, QState],
 
 
 def merge_ckpts(weight_path: str, act_path: str, out_path: str) -> None:
-    """results/merge.py equivalent: activation dict + injected 'weight'."""
-    w = load_pth(weight_path)
-    a = load_pth(act_path)
-    a["weight"] = w["weight"] if "weight" in w else w
-    save_pth(a, out_path)
+    """results/merge.py equivalent: activation dict + injected 'weight'.
+
+    Pure dict-level injection on the raw torch objects — load_pth/save_pth
+    would force-cast every tensor to float32, rewriting an fp16/bf16
+    reference checkpoint at 2x the size and breaking dtype-level
+    comparability with the reference tooling."""
+    torch = _torch()
+    w = torch.load(weight_path, map_location="cpu", weights_only=False)
+    a = torch.load(act_path, map_location="cpu", weights_only=False)
+    a["weight"] = w["weight"] if isinstance(w, dict) and "weight" in w else w
+    torch.save(a, out_path)

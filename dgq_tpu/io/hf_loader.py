@@ -41,7 +41,14 @@ def load_state_dict_any(path: str) -> Dict[str, np.ndarray]:
         with safe_open(f, framework="np") as sf:
             for k in sf.keys():
                 v = sf.get_tensor(k)
-                if v.dtype == np.float16:
+                # upcast every sub-f32 float (fp16 AND bf16 — safetensors
+                # returns ml_dtypes.bfloat16 arrays, dtype kind 'V', which
+                # np.issubdtype misses and torch.from_numpy rejects at
+                # checkpoint-save time); integers pass through, matching
+                # the torch branch's .float()
+                import jax.numpy as jnp
+
+                if v.dtype != np.float32 and jnp.issubdtype(v.dtype, jnp.floating):
                     v = v.astype(np.float32)
                 out[k] = v
         return out

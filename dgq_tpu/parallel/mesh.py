@@ -118,15 +118,21 @@ def shard_prompts(prompts: list, rank: int, world_size: int) -> list:
     return prompts[rank * per : (rank + 1) * per]
 
 
-def sync_mean(mesh: Mesh, tree):
-    """Mean-reduce a replicated-per-device pytree across dp (the linklink
-    `allaverage` counterpart for host-driven calibration statistics)."""
+def sync_mean(mesh: Optional[Mesh], tree):
+    """Mean each leaf of a per-PROCESS pytree across processes — the
+    linklink `allaverage` counterpart (dist_helper.py:33-36: divide by
+    world_size, allreduce) for host-driven calibration statistics. Every
+    process passes its own local stat (any shape, scalars included) and
+    receives the global mean. Single-process: identity (the jit'd
+    calibration path already averages globally through dp-sharded data, so
+    nothing needs syncing). `mesh` is accepted for signature stability and
+    unused — process_allgather spans all processes by construction."""
+    del mesh
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
 
-    @jax.jit
-    def _mean(x):
-        return jax.tree.map(lambda v: jnp.mean(v, axis=0), x)
-
-    stacked = jax.tree.map(
-        lambda v: jax.device_put(v, NamedSharding(mesh, P("dp"))), tree
-    )
-    return _mean(stacked)
+    return jax.tree.map(
+        lambda v: jnp.mean(
+            multihost_utils.process_allgather(jnp.asarray(v)), axis=0),
+        tree)

@@ -43,6 +43,16 @@ with mesh:
 got = float(np.asarray(jax.device_get(total)))
 want = float(batch.sum())
 assert got == want, (got, want)
+
+# sync_mean: each process contributes its OWN local stat; every process
+# receives the cross-process mean (linklink allaverage semantics)
+from dgq_tpu.parallel.mesh import sync_mean
+
+rank = jax.process_index()
+local = {"delta": jnp.full((3,), float(rank + 1)), "zp": jnp.asarray(10.0 * rank)}
+synced = sync_mean(mesh, local)
+assert np.allclose(np.asarray(synced["delta"]), 1.5), synced["delta"]
+assert np.isclose(float(synced["zp"]), 5.0), synced["zp"]
 print(f"RANK{jax.process_index()} OK {got}")
 """
 
