@@ -37,12 +37,17 @@ def setup_logging(outdir: str) -> tuple[str, logging.Logger]:
 
 def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
                 hf_unet_path: Optional[str] = None,
-                sdxl_depths: tuple = (2, 10)):
+                sdxl_depths: tuple = (2, 10),
+                init_params: bool = True):
     """Returns (spec, params, unet_apply, latent_hw, cross_dim).
 
     hf_unet_path: directory with a torch state dict ('diffusion_pytorch_model
     .bin' or .pth) of the rewritten UNet — converted on load. Without it,
-    random weights (useful only for smoke/benchmark runs)."""
+    random weights (useful only for smoke/benchmark runs).
+
+    init_params=False skips weight materialization entirely (params=None) —
+    for callers that immediately replace them from a checkpoint; the random
+    init of the full-width model costs minutes of host RNG otherwise."""
     if model_type == "sd":
         from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply
 
@@ -65,8 +70,10 @@ def build_model(model_type: str, base: Optional[int] = None, seed: int = 0,
         from dgq_tpu.io.hf_loader import load_state_dict_any
 
         params = torch_unet_to_params(load_state_dict_any(hf_unet_path), spec)
-    else:
+    elif init_params:
         params = init(jax.random.PRNGKey(seed), spec=spec)
+    else:
+        params = None
     return spec, params, apply_fn, latent_hw, cross
 
 

@@ -24,49 +24,66 @@ import sys
 import numpy as np
 
 
-def load_images(path: str, limit: int = 0) -> np.ndarray:
+def _stem_key(f: str):
+    """Sort/alignment key: gen4eval writes '{prompt_idx}_{rep}' stems
+    (legacy runs wrote bare unpadded ints); a lexicographic sort would
+    misalign images with the prompt file for >=10 prompts. Returns
+    (bucket, prompt_idx, rep, name); prompt_idx is -1 when unparseable."""
+    stem = os.path.splitext(f)[0]
+    head, _, tail = stem.partition("_")
+    try:
+        return (0, int(head), int(tail) if tail else 0, f)
+    except ValueError:
+        return (1, -1, 0, f)
+
+
+def load_images(path: str, limit: int = 0, with_prompt_ids: bool = False):
     """Directory of .png/.jpg/.npy images -> (N, H, W, 3) uint8.
 
     Mixed-size sets (the normal case for reference-image directories) are
     resized per-image to 299x299 bilinear — the same target the Inception
-    preprocessing uses, mirroring pytorch-fid's per-image resize."""
-    def _order(f: str):
-        # gen4eval writes unpadded numeric names (0.png, 10.png, ...); a
-        # lexicographic sort would misalign images with the prompt file for
-        # >=10 images. Sort numerically when the stem is an int, keeping a
-        # lexicographic fallback for arbitrary names.
-        stem = os.path.splitext(f)[0]
-        try:
-            return (0, int(stem), f)
-        except ValueError:
-            return (1, 0, f)
+    preprocessing uses, mirroring pytorch-fid's per-image resize.
 
-    names = sorted(
-        (f for f in os.listdir(path)
-         if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))),
-        key=_order,
+    with_prompt_ids=True additionally returns each image's prompt index
+    parsed from its '{prompt_idx}_{rep}' stem (None when names are not in
+    that scheme) so CLIP scoring pairs correctly even with repeats."""
+    keys = sorted(
+        _stem_key(f) for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
     )
     if limit:
-        names = names[:limit]
-    if not names:
+        keys = keys[:limit]
+    if not keys:
         raise FileNotFoundError(f"no images in {path}")
     out = []
-    for f in names:
+    for _, _, _, f in keys:
         fp = os.path.join(path, f)
         if f.endswith(".npy"):
             arr = np.load(fp)
+            if arr.dtype != np.uint8:
+                # float .npy means the generator ran without a VAE and
+                # saved raw latents — not scoreable images; a blind uint8
+                # cast would wrap negatives into garbage and score it
+                raise ValueError(
+                    f"{fp} holds non-uint8 data (shape {arr.shape}, dtype "
+                    f"{arr.dtype}) — raw latents from a no-VAE run cannot "
+                    f"be scored; re-generate with --vae_weights")
         else:
             from PIL import Image
 
             arr = np.asarray(Image.open(fp).convert("RGB"))
-        out.append(arr.astype(np.uint8))
+        out.append(arr)
     if len({a.shape for a in out}) > 1:
         from PIL import Image
 
         out = [np.asarray(Image.fromarray(a).resize((299, 299),
                                                     Image.BILINEAR))
                for a in out]
-    return np.stack(out)
+    images = np.stack(out)
+    if not with_prompt_ids:
+        return images
+    ids = [k[1] for k in keys]
+    return images, (ids if all(i >= 0 for i in ids) else None)
 
 
 def main(argv=None):
@@ -120,7 +137,8 @@ def main(argv=None):
         inception_score,
     )
 
-    gen = load_images(args.gen_dir, args.limit)
+    gen, prompt_ids = load_images(args.gen_dir, args.limit,
+                                  with_prompt_ids=True)
     print(f"scoring {len(gen)} images from {args.gen_dir}", file=sys.stderr)
 
     if args.inception_ckpt:
@@ -156,7 +174,13 @@ def main(argv=None):
         from dgq_tpu.cli.gen4eval import read_prompts
 
         n = min(len(gen), args.clip_limit) if args.clip_limit else len(gen)
-        prompts = read_prompts(args.prompts)[:n]
+        all_prompts = read_prompts(args.prompts)
+        if prompt_ids is not None:
+            # pair each image with ITS prompt via the '{prompt}_{rep}' stem
+            # (1:1 positional pairing misaligns when n_per_prompt > 1)
+            prompts = [all_prompts[pid] for pid in prompt_ids[:n]]
+        else:
+            prompts = all_prompts[:n]
         if args.open_clip_ckpt:
             from dgq_tpu.eval.open_clip import clip_score_openclip
 

@@ -71,11 +71,18 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dgq_tpu.cli.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     steps = args.steps if args.steps > 0 else (25 if args.model == "sd" else 4)
     from dgq_tpu.parallel.mesh import shard_prompts
 
-    prompts = read_prompts(args.prompts)
-    prompts = shard_prompts(prompts, args.gpu_rank, args.world_size)
+    all_prompts = read_prompts(args.prompts)
+    prompts = shard_prompts(all_prompts, args.gpu_rank, args.world_size)
+    # global prompt index base for this rank's shard (collision-free image
+    # naming across ranks; shard_prompts slices contiguously)
+    per_rank = (len(all_prompts) + args.world_size - 1) // args.world_size
+    prompt_base = args.gpu_rank * per_rank
     os.makedirs(args.outdir, exist_ok=True)
     im256_dir = args.outdir.rstrip("/") + "_im256"
     if args.im256:
@@ -188,16 +195,21 @@ def main():
                 )
                 imgs = pipe.generate_from_embeddings(text, uncond, steps=steps, seed=seed)
             for j, img in enumerate(imgs):
-                idx = args.gpu_rank * 10_000_000 + (i + j) * 10 + rep
+                # '{global_prompt_idx}_{rep}' (the reference's name_rep
+                # scheme, gen4eval_SD.py:247): collision-free for ANY
+                # n_per_prompt and rank count, and eval_scores recovers the
+                # prompt index from the stem for CLIP alignment
+                name = f"{prompt_base + i + j}_{rep}"
                 if img.dtype == np.uint8:
                     from PIL import Image
 
-                    Image.fromarray(img).save(os.path.join(args.outdir, f"{idx}.png"))
+                    Image.fromarray(img).save(
+                        os.path.join(args.outdir, f"{name}.png"))
                     if args.im256:
                         Image.fromarray(img).resize((256, 256)).save(
-                            os.path.join(im256_dir, f"{idx}.png"))
+                            os.path.join(im256_dir, f"{name}.png"))
                 else:
-                    np.save(os.path.join(args.outdir, f"{idx}.npy"), img)
+                    np.save(os.path.join(args.outdir, f"{name}.npy"), img)
                 count += 1
     dt = time.perf_counter() - t_start
     print(f"rank {args.gpu_rank}: {count} images in {dt:.1f}s "

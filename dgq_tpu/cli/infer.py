@@ -48,6 +48,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dgq_tpu.cli.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     steps = args.num_inference_steps
     if steps < 0:
         steps = 25 if args.model == "sd" else 4

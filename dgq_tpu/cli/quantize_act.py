@@ -29,7 +29,6 @@ def parse_args():
     ap.add_argument("--cali_data_path", default="./data/cali_data")
     ap.add_argument("--step_size", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--unet_weights", default=None)
     ap.add_argument("--base", type=int, default=None)
     ap.add_argument("--latent_hw", type=int, default=None)
     args = ap.parse_args()
@@ -50,9 +49,11 @@ def main():
     from dgq_tpu.io.dgq_ckpt import load_weight_only, save_act_ckpt
     from dgq_tpu.quant.scalers import Scaler
 
+    # spec only — the weights come from the checkpoint below; random-
+    # initializing the full model just to discard it costs minutes
     spec, _, apply_fn, latent_hw, cross = build_model(
         args.model, base=args.base, seed=args.seed,
-        sdxl_depths=args.sdxl_depths,
+        sdxl_depths=args.sdxl_depths, init_params=False,
     )
     cfg = qconfig_from_args(args, use_wq=True, use_aq=True)
 

@@ -126,7 +126,8 @@ def main():
             )
             alphas = calibrate_weights(
                 params, spec, cfg, wqp, cali_data, iters=args.iters,
-                batch_size=8, w=0.01, warmup=0.2, asym=True,
+                batch_size=8 if args.model == "sd" else 4,
+                w=0.01, warmup=0.2, asym=True,
                 unet_apply=apply_fn, progress=log.info,
                 tib_recon=args.tib_recon, opt_mode=args.recon_loss,
             )

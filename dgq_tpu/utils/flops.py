@@ -19,37 +19,55 @@ from typing import Optional
 import jax
 
 
+def _make_level_hw(spec, latent_hw: int):
+    """Per-layer spatial size from the UNet topology encoded in spec names.
+
+    The level count is read off the down-block indices (SD has 4 levels —
+    mid at /8, up_blocks.i at /2^(3-i); SDXL has 3 — mid at /4, up at
+    /2^(2-i)), so one helper serves both models. Upsampler convs run AFTER
+    the nearest-2x interpolation (unet_sd.py upsample-then-conv), so their
+    input is at twice the block scale."""
+    top = max((int(n.split(".")[1]) for n, _, _ in spec
+               if n.startswith("down_blocks.")), default=3)
+
+    def level_hw(name: str) -> int:
+        if name.startswith("down_blocks."):
+            # a block's convs (incl. its stride-2 downsampler input) run at
+            # the scale before the downsample
+            h = latent_hw // (2 ** int(name.split(".")[1]))
+        elif name.startswith("mid_block"):
+            h = latent_hw // (2 ** top)
+        elif name.startswith("up_blocks."):
+            i = int(name.split(".")[1])
+            h = latent_hw // (2 ** max(top - i, 0))
+            if ".upsamplers." in name:
+                h *= 2  # conv after the 2x interpolation
+        else:
+            h = latent_hw
+        return max(h, 1)
+
+    return level_hw
+
+
+def _is_token_linear(name: str) -> bool:
+    """Linears applied per spatial/sequence token (vs once per sample).
+    time_emb_proj contains 'proj' but is a per-sample vector op."""
+    if "time_emb_proj" in name:
+        return False
+    return ".attn" in name or ".ff." in name or "proj" in name
+
+
 def spec_cost(spec, latent_hw: int = 64, seq: int = 77, heads: int = 8,
               head_dim_divisor: int = 64) -> dict:
     """Analytic Params/MACs for a UNet spec at a given latent size.
 
-    Spatial sizes are tracked per level from stride-2 convs; attention token
-    counts follow the conv feature map at each transformer's level.
+    Spatial sizes are tracked per level from the spec topology; attention
+    token counts follow the conv feature map at each transformer's level.
     """
     params = 0
     macs = 0
-    # track output H of each layer by simulating strides per block prefix
-    hw = {}
+    level_hw = _make_level_hw(spec, latent_hw)
 
-    def level_hw(name: str) -> int:
-        # down_blocks.i at scale /2^i (after i downsamples); mid at /8; up
-        # blocks mirror. This matches SD/SDXL topology.
-        if name.startswith("down_blocks."):
-            i = int(name.split(".")[1])
-            # a block's convs run at the scale BEFORE its downsampler
-            scale = 2 ** i
-            if ".downsamplers." in name:
-                scale = 2 ** i  # conv input at current scale, stride 2
-            return max(latent_hw // scale, 1)
-        if name.startswith("mid_block"):
-            return max(latent_hw // 8, 1)
-        if name.startswith("up_blocks."):
-            i = int(name.split(".")[1])
-            n_up = 3  # SD has 4 up blocks at scales 8,8,4,2 / SDXL 3
-            return max(latent_hw // (2 ** max(3 - i, 0)), 1)
-        return latent_hw
-
-    attn_token_ch = []
     for name, kind, meta in spec:
         if kind == "conv":
             cin, cout, k, stride, pad = meta
@@ -60,7 +78,7 @@ def spec_cost(spec, latent_hw: int = 64, seq: int = 77, heads: int = 8,
         elif kind == "linear":
             cin, cout, bias = meta
             params += cin * cout + (cout if bias else 0)
-            if ".attn" in name or ".ff." in name or "proj" in name:
+            if _is_token_linear(name):
                 t = level_hw(name) ** 2
                 if ".to_k" in name or ".to_v" in name:
                     # cross attention keys/values read the text sequence
@@ -110,16 +128,7 @@ def spec_roofline(spec, latent_hw: int = 64, batch: int = 8, seq: int = 77,
     single-resource bounds. Model-width floor only — it excludes quantizer
     arithmetic, schedulers, and the VAE."""
     BY = 2  # bf16
-
-    def level_hw(name: str) -> int:
-        if name.startswith("down_blocks."):
-            return max(latent_hw // (2 ** int(name.split(".")[1])), 1)
-        if name.startswith("mid_block"):
-            return max(latent_hw // 8, 1)
-        if name.startswith("up_blocks."):
-            i = int(name.split(".")[1])
-            return max(latent_hw // (2 ** max(3 - i, 0)), 1)
-        return latent_hw
+    level_hw = _make_level_hw(spec, latent_hw)
 
     per_scale: dict = {}
     tot_c = tot_m = sol = 0.0
@@ -135,7 +144,7 @@ def spec_roofline(spec, latent_hw: int = 64, batch: int = 8, seq: int = 77,
                    + batch * h * h * cin + batch * ho * ho * cout) * BY
         elif kind == "linear":
             cin, cout, bias = meta
-            if ".attn" in name or ".ff." in name or "proj" in name:
+            if _is_token_linear(name):
                 t = h * h
                 if (".to_k" in name or ".to_v" in name) and ".attn2." in name:
                     t = seq

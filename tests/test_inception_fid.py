@@ -201,3 +201,26 @@ def test_inception_score_from_probs():
     is_peaked, _ = inception_score(peaked, splits=2)
     is_uniform, _ = inception_score(uniform, splits=2)
     assert is_peaked > is_uniform
+
+
+def test_load_images_prompt_rep_stems(tmp_path):
+    """gen4eval writes '{prompt_idx}_{rep}' stems; load_images must order by
+    (prompt, rep), return the prompt ids for CLIP alignment, and reject raw
+    float latents (a no-VAE run) instead of casting them to uint8 garbage."""
+    from dgq_tpu.cli.eval_scores import load_images
+
+    for p in range(3):
+        for r in range(12):  # n_per_prompt > 10: the old *10 scheme collided
+            np.save(tmp_path / f"{p}_{r}.npy",
+                    np.full((8, 8, 3), p * 16 + r, np.uint8))
+    imgs, ids = load_images(str(tmp_path), with_prompt_ids=True)
+    assert imgs.shape[0] == 36
+    assert ids == [p for p in range(3) for _ in range(12)]
+    assert [int(v) for v in imgs[:, 0, 0, 0]] == [
+        p * 16 + r for p in range(3) for r in range(12)]
+
+    np.save(tmp_path / "9_99.npy", np.zeros((8, 8, 4), np.float32))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="latents"):
+        load_images(str(tmp_path))
