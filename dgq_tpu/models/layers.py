@@ -319,13 +319,16 @@ def quant_conv2d(
     kh, kw = p["w"].shape[0], p["w"].shape[1]
     if name in cfg.group_conv_layers and cfg.use_aq:
         gqp = (qstate or {}).get("a", {}).get(name) if qstate is not None else None
+        if gqp is not None and cfg.group_conv_impl in ("fused", "taps", "im2col"):
+            # one tap site for every non-materializing impl: collectors get
+            # the reference's unfolded layout regardless of dataflow
+            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
         if cfg.group_conv_impl == "fused" and gqp is not None:
             from dgq_tpu.ops.pallas.group_conv import (
                 fused_eligible,
                 group_quant_conv,
             )
 
-            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             if fused_eligible(x.shape, p["w"].shape[-1], kh, kw, stride,
                               padding, gqp,
                               dtype_bytes=jnp.dtype(x.dtype).itemsize):
@@ -342,10 +345,8 @@ def quant_conv2d(
                 )
             return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
         if cfg.group_conv_impl == "taps" and gqp is not None:
-            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             return group_quant_conv2d_taps(p, x, gqp, cfg, stride, padding)
         if cfg.group_conv_impl == "im2col" and gqp is not None:
-            _tap_unfolded(qstate, cfg, name, x, (kh, kw, stride, padding))
             return group_quant_conv2d_im2col(p, x, gqp, cfg, stride, padding)
         b, h, w, _ = x.shape
         ho = (h + 2 * padding - kh) // stride + 1
@@ -371,20 +372,26 @@ def quant_conv2d(
                                    z.reshape(1, c * kh * kw, 1)), cfg.a_bits)
         else:
             x_unf = aq_apply(qstate, cfg, name, x_unf)
-        return conv2d_unfolded(p, x_unf, (ho, wo))
+        return conv2d_unfolded(p, x_unf.astype(x.dtype), (ho, wo))
     qp = _int8_qp(p, qstate, cfg, name)
     if qp is not None:
-        if kh == 1 and kw == 1 and stride == 1 and padding == 0 and "w_q8" in p:
+        from dgq_tpu.models.qconfig import _tap
+
+        if (kh == 1 and kw == 1 and stride == 1 and padding == 0
+                and "w_q8" in p and cfg.use_int8_matmul):
             b, h, w, c = x.shape
             x2 = jnp.reshape(x, (b * h * w, c))
             if cfg.int8_impl == "xla":
                 if _int8_xla_eligible(x2.shape[0], c):
+                    _tap(name, x)  # collectors see the pre-quant input
                     y = _int8_matmul_xla(p, x2, qp, cfg)
                     return jnp.reshape(y, (b, h, w, y.shape[-1]))
             else:
+                _tap(name, x)
                 y = _int8_matmul(p, x2, qp, cfg)
                 return jnp.reshape(y, (b, h, w, y.shape[-1]))
         if "w_q8c" in p and cfg.use_int8_conv:
+            _tap(name, x)
             return _int8_conv(p, x, qp, cfg, stride, padding)
     qpf = _fold_qp(qstate, cfg, name)
     if qpf is not None:
@@ -392,8 +399,11 @@ def quant_conv2d(
 
         _tap(name, x)  # calibration collectors see the pre-quant input
         return _codes_conv2d(p, x, qpf, cfg, stride, padding)
-    x = aq_apply(qstate, cfg, name, x)
-    return conv2d(p, x, stride, padding)
+    # fake-quant fallback: keep the ORIGINAL activation dtype into the conv
+    # (the quantizer divides by an f32 delta, which would silently upcast a
+    # bf16 run to f32 for every downstream layer)
+    return conv2d(p, aq_apply(qstate, cfg, name, x).astype(x.dtype),
+                  stride, padding)
 
 
 def _tap_unfolded(qstate, cfg, name, x, conv_geom):
@@ -599,14 +609,18 @@ def quant_linear(
     """QuantLayer-linear forward: aqtizer(x) then matmul. With packed int8
     weights and a per-tensor activation scale, the whole thing runs as one
     Pallas int8 MXU kernel (quantization in-kernel, 2x bf16 throughput)."""
-    qp = _int8_qp(p, qstate, cfg, name)
+    qp = _int8_qp(p, qstate, cfg, name) if cfg.use_int8_matmul else None
     if qp is not None:
+        from dgq_tpu.models.qconfig import _tap
+
         x2 = jnp.reshape(x, (-1, x.shape[-1]))
         if cfg.int8_impl == "xla":
             if _int8_xla_eligible(x2.shape[0], x2.shape[1]):
+                _tap(name, x)  # collectors see the pre-quant input
                 y = _int8_matmul_xla(p, x2, qp, cfg)
                 return jnp.reshape(y, x.shape[:-1] + (y.shape[-1],))
         else:
+            _tap(name, x)
             y = _int8_matmul(p, x2, qp, cfg)
             return jnp.reshape(y, x.shape[:-1] + (y.shape[-1],))
     qpf = _fold_qp(qstate, cfg, name)
@@ -615,8 +629,9 @@ def quant_linear(
 
         _tap(name, x)  # calibration collectors see the pre-quant input
         return _codes_linear(p, x, qpf, cfg)
-    x = aq_apply(qstate, cfg, name, x)
-    return linear(p, x)
+    # fake-quant fallback: keep the ORIGINAL activation dtype into the
+    # matmul (the f32 delta would silently upcast a bf16 run)
+    return linear(p, aq_apply(qstate, cfg, name, x).astype(x.dtype))
 
 
 def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:

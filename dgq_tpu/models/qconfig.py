@@ -215,11 +215,16 @@ def softmax_q_apply(
     if cfg.t2i_log_quant:
         if cfg.t2i_real_time:
             return log2_real_time_quant(attn_weights, cfg.softmax_bits)
+        if cfg.log_max_1:
+            # delta pinned to 1 (reference quant_layer_text.py:90-91) — no
+            # calibrated state needed, and the Pallas path quantizes with
+            # ones(()) here too; checking the calibrated delta FIRST would
+            # silently skip quantization when none exists
+            return log2_fake_quant(attn_weights, jax.numpy.ones(()),
+                                   cfg.softmax_bits)
         delta = qstate.get("sm", {}).get(name)
         if delta is None:
             return attn_weights
-        if cfg.log_max_1:
-            delta = jax.numpy.ones_like(delta)
         return log2_fake_quant(attn_weights, delta, cfg.softmax_bits)
     qp = qstate.get("a", {}).get(name)
     if qp is None:

@@ -384,3 +384,59 @@ def test_fold_path_publishes_taps():
         quant_linear(p, x, "L", qstate, cfg)
     assert "L" in store
     assert np.allclose(np.asarray(store["L"]), np.asarray(x))
+
+
+def test_conv_only_int8_flag_does_not_route_linears():
+    """use_int8_conv alone must leave linears (and 1x1 convs) on the
+    fake-quant path — the QConfig docstring promises the two int8 gates are
+    independently benchmarkable."""
+    rng = np.random.RandomState(5)
+    name = "L"
+    spec = [(name, "linear", (64, 32, True))]
+    params = {name: {
+        "w": jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.randn(32).astype(np.float32)),
+    }}
+    both = QConfig(w_bits=4, a_bits=8, use_wq=True, use_aq=True,
+                   use_int8_matmul=True, use_int8_conv=True, int8_impl="xla")
+    wqp = init_weight_qparams(params, spec, 4, Scaler.MINMAX)
+    pq = fold_weight_quant(params, wqp, spec, both)
+    pq = attach_int8_packed(pq, wqp, spec, both)
+
+    x = jnp.asarray(rng.randn(512, 64).astype(np.float32))
+    xqp = init_scale(x, 8, Scaler.MINMAX)
+    # fractional zp so int8 (rounded zp) and fake-quant (exact zp) differ
+    qstate = {"a": {name: QParams(xqp.delta, xqp.zero_point + 0.37)}, "sm": {}}
+
+    conv_only = both.replace(use_int8_matmul=False)
+    off = both.replace(use_int8_matmul=False, use_int8_conv=False)
+    out_conv_only = quant_linear(pq[name], x, name, qstate, conv_only)
+    out_off = quant_linear(pq[name], x, name, qstate, off)
+    assert np.allclose(np.asarray(out_conv_only), np.asarray(out_off),
+                       atol=1e-6), "conv-only flag routed a linear to int8"
+
+
+def test_fallback_fake_quant_preserves_bf16():
+    """The fake-quant fallback (fold-ineligible per-channel scale) must not
+    upcast a bf16 activation run to f32 — the f32 delta divide would
+    silently double activation HBM for every downstream layer."""
+    from dgq_tpu.models.layers import quant_conv2d
+
+    rng = np.random.RandomState(6)
+    name = "C"
+    p = {"w": jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1,
+                          jnp.bfloat16),
+         "b": jnp.asarray(rng.randn(16).astype(np.float32), jnp.bfloat16)}
+    x = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32), jnp.bfloat16)
+    # per-channel delta: ineligible for the codes fold -> fake-quant path
+    qp = QParams(jnp.linspace(0.02, 0.1, 8), jnp.full((8,), 128.0))
+    cfg = QConfig(a_bits=8, use_aq=True)
+    out = quant_conv2d(p, x, name, {"a": {name: qp}, "sm": {}}, cfg, 1, 1)
+    assert out.dtype == jnp.bfloat16, out.dtype
+
+    lin = {"w": p["w"][0, 0], "b": p["b"]}
+    from dgq_tpu.models.layers import quant_linear as ql
+
+    qpl = QParams(jnp.linspace(0.02, 0.1, 8), jnp.full((8,), 128.0))
+    out_l = ql(lin, x.reshape(-1, 8), name, {"a": {name: qpl}, "sm": {}}, cfg)
+    assert out_l.dtype == jnp.bfloat16, out_l.dtype

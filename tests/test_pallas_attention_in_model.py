@@ -81,3 +81,23 @@ def test_pallas_path_publishes_softmax_tap(attn_setup, monkeypatch):
         attention(p, "a", x, ehs, heads, None, QConfig())
     assert np.allclose(np.asarray(taps["a.aqtizer_w"]),
                        np.asarray(taps_ref["a.aqtizer_w"]), atol=1e-5)
+
+
+def test_log_max_1_quantizes_without_calibrated_delta(attn_setup, monkeypatch):
+    """log_max_1 pins the log2 delta to 1 (reference quant_layer_text.py:90):
+    with NO calibrated 'sm' state the XLA path must still quantize — and
+    match the Pallas path, which always used ones(())."""
+    _patch_interpret(monkeypatch)
+    p, x, ehs, heads = attn_setup
+    qstate = {"a": {}, "sm": {}}
+    cfg = QConfig(use_aq=True, t2i_log_quant=True, log_max_1=True,
+                  softmax_bits=8)
+    out_xla = attention(p, "a", x, ehs, heads, qstate, cfg)
+    out_fp = attention(p, "a", x, ehs, heads, qstate,
+                       QConfig(use_aq=False))
+    # quantization must actually happen (≠ fp), and both deploy modes agree
+    assert not np.allclose(np.asarray(out_xla), np.asarray(out_fp), atol=1e-5)
+    out_pl = attention(p, "a", x, ehs, heads, qstate,
+                       cfg.replace(use_pallas_attention=True))
+    assert np.allclose(np.asarray(out_xla), np.asarray(out_pl), atol=2e-3), \
+        np.abs(np.asarray(out_xla) - np.asarray(out_pl)).max()
