@@ -108,6 +108,14 @@ def main(argv=None):
     ap.add_argument("--tokenizer", default=None,
                     help="local CLIP tokenizer dir (BPE vocab) for "
                          "--open_clip_ckpt")
+    ap.add_argument("--image_reward_ckpt", default=None,
+                    help="ImageReward-v1.0 checkpoint (ImageReward.pt) — "
+                         "scored natively in JAX (reference "
+                         "src/eval_ImageReward_score.py protocol); needs "
+                         "--ir_tokenizer and --prompts")
+    ap.add_argument("--ir_tokenizer", default=None,
+                    help="local BertTokenizer dir (vocab.txt) for "
+                         "--image_reward_ckpt")
     ap.add_argument("--prompts", default=None,
                     help="prompt csv/tsv aligned with sorted image names")
     ap.add_argument("--limit", type=int, default=0,
@@ -122,6 +130,8 @@ def main(argv=None):
     if args.open_clip_ckpt and not args.tokenizer:
         ap.error("--open_clip_ckpt requires --tokenizer (local CLIP BPE "
                  "tokenizer dir)")
+    if args.image_reward_ckpt and not (args.ir_tokenizer and args.prompts):
+        ap.error("--image_reward_ckpt requires --ir_tokenizer and --prompts")
 
     import jax
 
@@ -170,7 +180,8 @@ def main(argv=None):
             results["inception_score"] = is_mean
             results["inception_score_std"] = is_std
 
-    if args.prompts and (args.clip_model or args.open_clip_ckpt):
+    if args.prompts and (args.clip_model or args.open_clip_ckpt
+                         or args.image_reward_ckpt):
         from dgq_tpu.cli.gen4eval import read_prompts
 
         n = min(len(gen), args.clip_limit) if args.clip_limit else len(gen)
@@ -181,6 +192,12 @@ def main(argv=None):
             prompts = [all_prompts[pid] for pid in prompt_ids[:n]]
         else:
             prompts = all_prompts[:n]
+        if args.image_reward_ckpt:
+            from dgq_tpu.eval.image_reward import image_reward_score_native
+
+            results["image_reward"] = image_reward_score_native(
+                list(gen[:n]), prompts, args.image_reward_ckpt,
+                args.ir_tokenizer, batch_size=args.batch)
         if args.open_clip_ckpt:
             from dgq_tpu.eval.open_clip import clip_score_openclip
 

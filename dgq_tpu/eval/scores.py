@@ -99,14 +99,19 @@ def clip_score(
 
 
 def image_reward_score(images, prompts, model: str = "ImageReward-v1.0"):
-    """ImageReward (reference src/eval_ImageReward_score.py) — requires the
-    ImageReward package + weights; raises with guidance when unavailable."""
+    """ImageReward via the upstream package (reference
+    src/eval_ImageReward_score.py) — requires the ImageReward package +
+    weights. Prefer `dgq_tpu.eval.image_reward.image_reward_score_native`,
+    the package-free JAX reimplementation that loads ImageReward.pt directly
+    (same protocol, parity-tested towers)."""
     try:
         import ImageReward as RM
     except ImportError as e:
         raise RuntimeError(
-            "ImageReward is not installed in this environment; install it and "
-            "provide local weights to score (reference scripts/eval_scores_Imagereward.sh)"
+            "ImageReward is not installed in this environment; use the native "
+            "JAX scorer (dgq_tpu.eval.image_reward / eval_scores "
+            "--image_reward_ckpt) with local ImageReward.pt weights instead "
+            "(reference scripts/eval_scores_Imagereward.sh)"
         ) from e
     rm = RM.load(model)
     return float(np.mean([rm.score(p, img) for p, img in zip(prompts, images)]))
