@@ -63,6 +63,7 @@ def bench_sdxl(args):
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
+        fold_act_dequant=not args.no_fold,
     )
     if use_group:
         qstate_g, group_layers = _sd_group_qstate(spec, 0, False, dtype)
@@ -157,6 +158,7 @@ def bench_sd(args):
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
+        fold_act_dequant=not args.no_fold,
     )
     t_slots = args.steps
     time_aware = not args.no_time_aware
@@ -269,6 +271,9 @@ def main():
                          "(the pallas call forfeits producer fusion)")
     ap.add_argument("--no-vae", action="store_true",
                     help="exclude VAE decode from the timed step")
+    ap.add_argument("--no-fold", action="store_true",
+                    help="ablation: disable the shifted-clip codes fold on "
+                         "per-tensor layers (plain fake-quant deploy path)")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the extra g8 measurement")
     args = ap.parse_args()
