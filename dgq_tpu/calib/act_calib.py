@@ -44,7 +44,7 @@ from dgq_tpu.quant.groups import (
     kmeans_group_qparams,
     update_group_stats,
 )
-from dgq_tpu.quant.log2 import log2_init_delta
+from dgq_tpu.quant.log2 import log2_ema_update, log2_init_delta
 from dgq_tpu.quant.scalers import Scaler, init_scale
 
 
@@ -184,16 +184,29 @@ def ema_update_qstate(
 ) -> tuple[QState, Dict[str, tuple]]:
     """Running-stat passes: EMA the global min/max per point and re-derive
     minmax scales (reference act_momentum_update, quant_layer.py:431-446).
-    Batch-level granularity (quantizers update between batches, not within)."""
+    Batch-level granularity (quantizers update between batches, not within).
+
+    Static-log2 softmax points (qstate["sm"], present when t2i_log_quant
+    without real_time) EMA their delta directly with the batch max —
+    the reference's T2ILogQuantizer.act_momentum_update
+    (quant_layer_text.py:109-117, gated `running_stat and not real_time`)."""
     run_cfg = cfg.replace(use_aq=True)
     names = tuple(n for n in qstate["a"] if n in ranges)
+    sm_static = (tuple(sorted(qstate["sm"]))
+                 if cfg.t2i_log_quant and not cfg.t2i_real_time else ())
     sm_names = set(softmax_qpoint_names(spec))
     for batch in batches:
         # one [len(names), 2] device->host pull per batch (not per tap)
         mm = np.asarray(_collect_minmax(
-            params, qstate, tuple(batch), names=names, cfg=run_cfg,
+            params, qstate, tuple(batch), names=names + sm_static, cfg=run_cfg,
             unet_apply=unet_apply,
         ))
+        if sm_static:
+            new_sm = dict(qstate["sm"])
+            for j, n in enumerate(sm_static, start=len(names)):
+                new_sm[n] = log2_ema_update(
+                    new_sm[n], jnp.asarray(mm[j, 1]), momentum)
+            qstate = {**qstate, "sm": new_sm}
         new_a = dict(qstate["a"])
         new_ranges = dict(ranges)
         for j, n in enumerate(names):

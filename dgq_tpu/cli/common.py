@@ -110,6 +110,132 @@ def _params_fingerprint(params: dict) -> str:
     return h.hexdigest()[:12]
 
 
+def load_prompts(path: str, num: int, seed: Optional[int] = None) -> list:
+    """Calibration prompts from a COCO annotations json (the reference's
+    protocol, src/dataset_generation.py:12-19: sample `num` captions) or a
+    plain-text file (one prompt per line)."""
+    if path.endswith(".json"):
+        from dgq_tpu.calib.data import get_coco_prompts
+
+        return get_coco_prompts(path, num, seed=seed)
+    import random
+
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if len(lines) <= num:
+        return lines
+    return random.Random(seed).sample(lines, num)
+
+
+def encode_cali_prompts(
+    model_type: str,
+    prompts: list,
+    text_weights: str,
+    tokenizer_path: str,
+    text_weights_2: Optional[str] = None,
+    tokenizer_2_path: Optional[str] = None,
+    batch_size: int = 16,
+):
+    """Run real captions through the CLIP text encoder(s) for calibration
+    data generation (reference src/dataset_generation.py:21-58 routes them
+    through the FP pipeline's prompt encoding).
+
+    SD: returns (text, uncond) — conditional plus empty-prompt embeddings,
+    the CFG pair the pipeline feeds the UNet. SDXL-turbo (guidance 0):
+    returns (ehs, pooled) from the dual-encoder scheme."""
+    import jax.numpy as jnp
+
+    from transformers import CLIPTokenizer
+
+    from dgq_tpu.io.hf_loader import load_state_dict_any
+    from dgq_tpu.pipeline.text_encoder import (
+        clip_meta_from_params,
+        clip_text_encode,
+        hf_clip_text_to_params,
+        sdxl_encode_prompt,
+    )
+
+    tok = CLIPTokenizer.from_pretrained(tokenizer_path)
+
+    def ids_of(tk, texts):
+        return tk(texts, padding="max_length", max_length=77, truncation=True,
+                  return_tensors="np").input_ids
+
+    params = hf_clip_text_to_params(load_state_dict_any(text_weights))
+    layers, heads = clip_meta_from_params(params)
+    if model_type == "sd":
+        import numpy as np
+
+        texts, unconds = [], []
+        for i in range(0, len(prompts), batch_size):
+            chunk = list(prompts[i : i + batch_size])
+            texts.append(np.asarray(clip_text_encode(
+                params, jnp.asarray(ids_of(tok, chunk)), layers, heads)))
+            unconds.append(np.asarray(clip_text_encode(
+                params, jnp.asarray(ids_of(tok, [""] * len(chunk))),
+                layers, heads)))
+        return (jnp.asarray(np.concatenate(texts)),
+                jnp.asarray(np.concatenate(unconds)))
+    tok2 = (CLIPTokenizer.from_pretrained(tokenizer_2_path)
+            if tokenizer_2_path else tok)
+    params2 = (hf_clip_text_to_params(load_state_dict_any(text_weights_2))
+               if text_weights_2 else params)
+    layers2, heads2 = clip_meta_from_params(params2)
+    import numpy as np
+
+    ehss, pooleds = [], []
+    for i in range(0, len(prompts), batch_size):
+        chunk = list(prompts[i : i + batch_size])
+        ehs, pooled = sdxl_encode_prompt(
+            params, params2, jnp.asarray(ids_of(tok, chunk)),
+            jnp.asarray(ids_of(tok2, chunk)),
+            layers_l=layers, heads_l=heads,
+            layers_g=layers2, heads_g=heads2,
+            eos_id=tok2.eos_token_id,
+        )
+        ehss.append(np.asarray(ehs))
+        pooleds.append(np.asarray(pooled))
+    return jnp.asarray(np.concatenate(ehss)), jnp.asarray(np.concatenate(pooleds))
+
+
+def cali_embeddings_from_args(args, model_type: str, cross: int,
+                              n_prompts: int, seed: int,
+                              pooled_dim: Optional[int] = None):
+    """Resolve the calibration prompt embeddings for a CLI invocation:
+    real captions through real text-encoder weights when --prompt_path /
+    --text_weights / --tokenizer are given (the reference's COCO-caption
+    protocol), synthetic embeddings otherwise (zero-egress fallback).
+
+    Returns (embeds_pair, tag) where tag feeds the cache key ('' for the
+    synthetic path, a content hash for real embeddings)."""
+    prompt_path = getattr(args, "prompt_path", None)
+    if prompt_path:
+        missing = [f for f in ("text_weights", "tokenizer")
+                   if not getattr(args, f, None)]
+        if missing:
+            raise SystemExit(
+                f"--prompt_path requires --{' --'.join(missing)} "
+                "(caption-conditioned calibration needs the text encoder)")
+        prompts = load_prompts(prompt_path, n_prompts, seed=seed)
+        pair = encode_cali_prompts(
+            model_type, prompts, args.text_weights, args.tokenizer,
+            text_weights_2=getattr(args, "text_weights_2", None),
+            tokenizer_2_path=getattr(args, "tokenizer_2", None),
+        )
+        tag = "_c" + _params_fingerprint({"t": pair[0], "u": pair[1]})
+        return pair, tag
+    if model_type == "sd":
+        from dgq_tpu.calib.data import synthetic_prompt_embeddings
+
+        return synthetic_prompt_embeddings(n_prompts, dim=cross, seed=seed), ""
+    from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+
+    return synthetic_sdxl_embeddings(
+        n_prompts, dim=cross,
+        pooled_dim=pooled_dim or pooled_dim_for(model_type), seed=seed,
+    ), ""
+
+
 def build_cali_data(
     model_type: str,
     params: dict,
@@ -122,12 +248,19 @@ def build_cali_data(
     cache_path: Optional[str] = None,
     pooled_dim: Optional[int] = None,
     cache_prefix: Optional[str] = None,
+    embeds: Optional[tuple] = None,
+    embeds_tag: str = "",
 ):
     """Generate (or load cached) calibration data for either model family.
 
     Returns (cali_data, interval) where cali_data is the positional UNet
     batch tuple: SD (lmi, t, ehs) with CFG doubling; SDXL-turbo
     (lmi, t, ehs, text_embeds, time_ids) at guidance 0.
+
+    embeds: prompt embeddings pair — SD (text, uncond), SDXL (ehs, pooled) —
+    from real captions via encode_cali_prompts; None uses synthetic
+    embeddings (zero-egress fallback). embeds_tag distinguishes cache
+    entries for different real-prompt sets.
 
     cache_prefix derives the cache filename HERE, from the actual generation
     inputs (prompts/steps/resolution/seed and a content fingerprint of the
@@ -136,14 +269,16 @@ def build_cali_data(
     if cache_path is None and cache_prefix is not None:
         cache_path = (
             f"{cache_prefix}_{model_type}_{steps}steps_n{n_prompts}"
-            f"_hw{latent_hw}_s{seed}_p{_params_fingerprint(params)}.npz")
+            f"_hw{latent_hw}_s{seed}_p{_params_fingerprint(params)}"
+            f"{embeds_tag}.npz")
     if model_type == "sd":
         from dgq_tpu.calib.data import (
             generate_sd_cali_data,
             synthetic_prompt_embeddings,
         )
 
-        text, uncond = synthetic_prompt_embeddings(n_prompts, dim=cross, seed=seed)
+        text, uncond = embeds or synthetic_prompt_embeddings(
+            n_prompts, dim=cross, seed=seed)
         return generate_sd_cali_data(
             params, text, uncond, steps=steps, scheduler="pndm",
             latent_hw=latent_hw, seed=seed, cache_path=cache_path,
@@ -154,7 +289,7 @@ def build_cali_data(
         synthetic_sdxl_embeddings,
     )
 
-    text, pooled = synthetic_sdxl_embeddings(
+    text, pooled = embeds or synthetic_sdxl_embeddings(
         n_prompts, dim=cross, pooled_dim=pooled_dim or pooled_dim_for(model_type),
         seed=seed,
     )
@@ -191,6 +326,22 @@ def add_quant_args(ap: argparse.ArgumentParser) -> None:
                          "any device use (JAX_COORDINATOR_ADDRESS / SLURM "
                          "env; the reference's linklink init, "
                          "linklink/__init__.py:21-59)")
+    ap.add_argument("--prompt_path", default=None,
+                    help="calibration captions: COCO annotations json "
+                         "(reference src/dataset_generation.py:12-19) or a "
+                         "plain-text file, one prompt per line; requires "
+                         "--text_weights/--tokenizer. Default: synthetic "
+                         "embeddings (zero-egress fallback)")
+    ap.add_argument("--text_weights", default=None,
+                    help="CLIP text encoder state dict (file or HF snapshot "
+                         "dir) for caption-conditioned calibration")
+    ap.add_argument("--tokenizer", default=None,
+                    help="HF CLIPTokenizer directory (vocab.json/merges.txt)")
+    ap.add_argument("--text_weights_2", default=None,
+                    help="[sdxl] second text encoder (OpenCLIP-bigG "
+                         "WithProjection state dict)")
+    ap.add_argument("--tokenizer_2", default=None,
+                    help="[sdxl] tokenizer for the second encoder")
 
 
 def maybe_init_multihost(args) -> None:

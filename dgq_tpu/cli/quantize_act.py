@@ -62,11 +62,19 @@ def main():
     params_q = fold_weight_quant(params, wqp, spec, cfg,
                                  alphas=alphas or None, soft=False)
 
+    from dgq_tpu.cli.common import cali_embeddings_from_args
+
+    embeds, tag = cali_embeddings_from_args(
+        args, args.model, cross, args.cali_prompt_data_n, args.seed,
+        pooled_dim=pooled_dim_for(args.model, args.base))
+    if tag:
+        log.info(f"caption-conditioned calibration data ({args.prompt_path})")
     cali_data, interval = build_cali_data(
         args.model, params, apply_fn, cross, args.cali_prompt_data_n,
         args.step_size, args.latent_hw or latent_hw, args.seed,
         cache_prefix=args.cali_data_path,
         pooled_dim=pooled_dim_for(args.model, args.base),
+        embeds=embeds, embeds_tag=tag,
     )
     per_t, group_layers = calibrate_activations(
         params_q, spec, cfg, cali_data, interval=interval,

@@ -98,25 +98,6 @@ def clip_score(
     return float(w * np.concatenate(sims).mean())
 
 
-def image_reward_score(images, prompts, model: str = "ImageReward-v1.0"):
-    """ImageReward via the upstream package (reference
-    src/eval_ImageReward_score.py) — requires the ImageReward package +
-    weights. Prefer `dgq_tpu.eval.image_reward.image_reward_score_native`,
-    the package-free JAX reimplementation that loads ImageReward.pt directly
-    (same protocol, parity-tested towers)."""
-    try:
-        import ImageReward as RM
-    except ImportError as e:
-        raise RuntimeError(
-            "ImageReward is not installed in this environment; use the native "
-            "JAX scorer (dgq_tpu.eval.image_reward / eval_scores "
-            "--image_reward_ckpt) with local ImageReward.pt weights instead "
-            "(reference scripts/eval_scores_Imagereward.sh)"
-        ) from e
-    rm = RM.load(model)
-    return float(np.mean([rm.score(p, img) for p, img in zip(prompts, images)]))
-
-
 def resize_images_256(images: np.ndarray) -> np.ndarray:
     """512px -> 256px resize for FID (reference change_img_size,
     src/gen4eval_SD.py / utils.py)."""

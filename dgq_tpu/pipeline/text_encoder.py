@@ -186,6 +186,18 @@ def hf_clip_text_to_params(state: dict) -> dict:
     return params
 
 
+def clip_meta_from_params(params: dict) -> tuple[int, int]:
+    """(num_layers, num_heads) discovered from a converted params dict: layer
+    count from the encoder.layers.N keys, heads as width // 64 (the CLIP
+    family keeps head_dim 64: CLIP-L 768->12, OpenCLIP bigG 1280->20; tiny
+    test encoders below width 64 get one head)."""
+    layers = 0
+    while f"encoder.layers.{layers}.layer_norm1" in params:
+        layers += 1
+    width = params["token_embedding"].shape[1]
+    return layers, max(1, width // 64)
+
+
 def init_clip_text(key, vocab: int = 49408, width: int = 768, layers: int = 12,
                    seq: int = 77, mlp_ratio: int = 4, dtype=jnp.float32,
                    proj_dim: int = 0) -> dict:

@@ -167,6 +167,88 @@ def test_log2_quantizer_parity(bits):
         assert np.all(np.abs(boundary - np.round(boundary - 0.5) - 0.5) < 1e-3)
 
 
+def test_log2_running_stat_ema_parity():
+    """Static-log2 delta EMA during running-stat passes: the reference's
+    T2ILogQuantizer.act_momentum_update (quant_layer_text.py:109-117) vs our
+    log2_ema_update flow (init from batch 0, then per-batch EMA with the
+    batch max — the ordering cali_model_aq enforces by enabling running_stat
+    only after the lazy-init forward, calibration.py:66-76)."""
+    from dgq_tpu.quant.log2 import log2_ema_update
+
+    batches = []
+    for s in range(4):
+        x = rand(2, 8, 77, seed=20 + s, positive=True)
+        batches.append(x / x.max() * (0.8 + 0.1 * s))
+
+    ref_q = T2ILogQuantizer(bits=8, always_zero=True, leaf_param=True)
+    with torch.no_grad():
+        _ = ref_q(torch.from_numpy(batches[0]))  # lazy init, no EMA yet
+        ref_q.running_stat = True
+        for x in batches:
+            _ = ref_q(torch.from_numpy(x))
+        ref_q.running_stat = False
+
+    delta = log2_init_delta(jnp.asarray(batches[0]), 8)
+    for x in batches:
+        delta = log2_ema_update(delta, jnp.max(jnp.asarray(x)))
+    assert np.isclose(float(delta), float(ref_q.delta), rtol=1e-5)
+
+    x_eval = jnp.asarray(batches[-1])
+    with torch.no_grad():
+        ref_out = ref_q(torch.from_numpy(batches[-1])).numpy()
+    ours = np.asarray(log2_fake_quant(x_eval, delta, 8))
+    mism = ~np.isclose(ours, ref_out, atol=1e-5)
+    assert mism.mean() < 0.005  # log2 ulp boundary flips only
+
+
+def test_log2_ema_through_act_calibration_driver():
+    """ema_update_qstate must EMA qstate['sm'] deltas (static t2i_log_quant)
+    — the wiring the reference exercises through set_running_stat."""
+    import jax
+
+    from dgq_tpu.calib.act_calib import ema_update_qstate, init_act_qstate
+    from dgq_tpu.models.qconfig import QConfig
+    from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply
+    from dgq_tpu.quant.log2 import log2_ema_update
+
+    spec = sd_unet_spec(base=32)
+    params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
+    cfg = QConfig(w_bits=8, a_bits=8, softmax_bits=8, use_wq=False,
+                  use_aq=True, t2i_log_quant=True)
+    rng = np.random.RandomState(0)
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return (
+            jnp.asarray(r.randn(2, 8, 8, 4).astype(np.float32)),
+            jnp.asarray(np.full((2,), 500, np.int32)),
+            jnp.asarray(r.randn(2, 77, 768).astype(np.float32)),
+        )
+
+    init_batch = mk_batch(1)
+    qstate, ranges = init_act_qstate(params, init_batch, spec, cfg,
+                                     unet_apply=unet_sd_apply)
+    assert qstate["sm"], "static t2i_log_quant must produce sm deltas"
+    before = {n: float(v) for n, v in qstate["sm"].items()}
+    # one batch: the expected delta is exactly ema(d0, batch_max) with the
+    # batch max of the PRE-quant softmax tap collected under the SAME qstate
+    # the driver saw (qstate evolves between batches, so multi-batch
+    # verification would have to replay the whole evolution)
+    batch = mk_batch(2)
+    qstate2, _ = ema_update_qstate(params, qstate, ranges, [batch], cfg, spec,
+                                   unet_apply=unet_sd_apply)
+    from dgq_tpu.calib.act_calib import _collect_minmax
+
+    n0 = sorted(qstate["sm"])[0]
+    mm = _collect_minmax(params, qstate, batch, names=(n0,),
+                         cfg=cfg.replace(use_aq=True),
+                         unet_apply=unet_sd_apply)
+    d = log2_ema_update(jnp.asarray(before[n0]), mm[0, 1])
+    assert np.isclose(float(qstate2["sm"][n0]), float(d), rtol=1e-6)
+    assert not np.isclose(float(qstate2["sm"][n0]), before[n0])
+    del rng
+
+
 def test_adaround_parity_hard_and_soft():
     w = rand(16, 32, seed=5, scale=0.1)
     ref_u = UniformAffineQuantizer(bits=4, channel_wise=True, scaler=RefScaler.MINMAX)
