@@ -457,6 +457,7 @@ def calibrate_weights(
     partial_dir: Optional[str] = None,
     tib_recon: bool = False,
     opt_mode: str = "mse",
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Full weight-reconstruction pass (reference cali_model weight phase,
     calibration.py:100-197). Returns AdaRound alphas per quantized layer.
@@ -467,6 +468,13 @@ def calibrate_weights(
     crash recovery via ckpt_tools check. tib_recon reconstructs the
     temporal-information block jointly (TFMQ) and excludes its layers from
     the per-block walks (reference quant_emb, quant_model.py:75-78).
+
+    mesh: a (dp, tp) jax.sharding.Mesh — each unit's captured activations
+    are dp-sharded on the batch axis before the optimization scan, so GSPMD
+    averages the AdaRound gradients across devices (the in-process
+    counterpart of the reference's per-rank allreduce,
+    reconstruction.py:73-77). Pass params already tp-sharded
+    (parallel.mesh.shard_params_tp) for channel parallelism.
     """
     units = recon_units(spec)
     if max_units is not None:
@@ -522,9 +530,36 @@ def calibrate_weights(
         inputs = tuple(
             jnp.concatenate([chunk[j] for chunk in ins]) for j in range(len(ins[0]))
         )
-        return inputs, jnp.concatenate(outs)
+        outs = jnp.concatenate(outs)
+        if mesh is not None and outs.shape[0] % mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp_sh = NamedSharding(mesh, PartitionSpec("dp"))
+            inputs = tuple(jax.device_put(x, dp_sh) for x in inputs)
+            outs = jax.device_put(outs, dp_sh)
+        return inputs, outs
 
     for u_idx, unit in enumerate(units):
+        if partial_dir:
+            # crash recovery: a unit whose partial save exists is loaded and
+            # skipped — the asym prefix then quantizes with the loaded
+            # alphas, identical to a continuous run (reference per-block
+            # saves, calibration.py:456-466)
+            import os
+
+            ppath = os.path.join(partial_dir, f"{unit.name}.pth")
+            if os.path.exists(ppath):
+                from dgq_tpu.io.dgq_ckpt import load_pth
+
+                part = load_pth(ppath)
+                for k, v in part.items():
+                    rel = k[: -len(".wqtizer.alpha")]
+                    name = unit.name if rel == "layer" else f"{unit.name}.{rel}"
+                    all_alphas[name] = jnp.asarray(v)
+                if progress:
+                    progress(f"[{u_idx + 1}/{len(units)}] {unit.name}: "
+                             f"resumed from partial save ({len(part)} layers)")
+                continue
         if progress:
             progress(f"[{u_idx + 1}/{len(units)}] reconstructing {unit.name}")
         # the asym path replaces the FP inputs with the quantized-prefix

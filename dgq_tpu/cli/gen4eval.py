@@ -1,9 +1,12 @@
 """Batch image generation for evaluation (reference src/gen4eval_SD.py /
 gen4eval_SDXL.py / gen4eval_fp.py).
 
-Data parallelism follows the reference's embarrassing parallel scheme
-(--gpu_rank/--world_size prompt slicing, gen4eval_SD.py:235) across processes
-AND a dp mesh within one process when multiple devices are visible.
+Data parallelism: the reference's embarrassing parallel scheme
+(--gpu_rank/--world_size prompt slicing, gen4eval_SD.py:235) across
+processes, and additionally `--dp N` shards each generation batch over an
+N-device in-process mesh (GSPMD partitions the sampling scan; the batch
+size must be a multiple of N — short tail batches are padded by repeating
+the last prompt and the extra images dropped).
 """
 from __future__ import annotations
 
@@ -48,23 +51,25 @@ def parse_args():
     ap.add_argument("--outdir", default="eval_images")
     ap.add_argument("--gpu_rank", type=int, default=0)
     ap.add_argument("--world_size", type=int, default=1)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="in-process data-parallel devices: each batch "
+                         "shards over a dp mesh (batch must be a multiple)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=-1)
     ap.add_argument("--n_per_prompt", type=int, default=1)
+    ap.add_argument("--height", type=int, default=-1,
+                    help="image height (default 512 sd / 1024 sdxl)")
+    ap.add_argument("--width", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cali_ckpt", default=None)
     ap.add_argument("--use_aq", action="store_true")
     ap.add_argument("--use_group", action="store_true")
     ap.add_argument("--fp", action="store_true", help="full precision (no quant)")
     ap.add_argument("--im256", action="store_true", help="also save 256px copies")
+    # --text_weights/--text_weights_2/--tokenizer/--tokenizer_2 come from
+    # add_quant_args (shared with the calibration CLIs)
     ap.add_argument("--unet_weights", default=None)
-    ap.add_argument("--text_weights", default=None)
-    ap.add_argument("--text_weights_2", default=None,
-                    help="SDXL second text encoder (bigG WithProjection) dir")
     ap.add_argument("--vae_weights", default=None)
-    ap.add_argument("--tokenizer", default=None)
-    ap.add_argument("--tokenizer_2", default=None,
-                    help="SDXL second tokenizer dir")
     ap.add_argument("--base", type=int, default=None)
     return ap.parse_args()
 
@@ -167,33 +172,66 @@ def main():
             unet_apply=apply_fn,
         )
 
+    mesh = None
+    if args.dp > 1:
+        import jax
+
+        from dgq_tpu.parallel.mesh import make_mesh, shard_params_tp
+
+        if len(jax.devices()) < args.dp:
+            raise SystemExit(
+                f"--dp {args.dp} needs {args.dp} devices, "
+                f"found {len(jax.devices())}")
+        if args.batch % args.dp:
+            raise SystemExit(f"--batch {args.batch} must be a multiple of "
+                             f"--dp {args.dp}")
+        mesh = make_mesh(dp=args.dp, tp=1)
+        # tp=1: every weight leaf lands replicated on the mesh; the batch
+        # axis of the embeddings below is what shards
+        pipe.unet_params = shard_params_tp(mesh, pipe.unet_params)
+
+    def batch_embeds(batch_prompts, seed):
+        """(cond, other) embedding pair for one batch: real encoders when
+        mounted, synthetic otherwise."""
+        if args.model == "sdxl":
+            if None not in (tokenizer, tokenizer_2, text_params, text_params_2):
+                return pipe.encode_prompts(batch_prompts)
+            from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+
+            return synthetic_sdxl_embeddings(
+                len(batch_prompts), dim=cross,
+                pooled_dim=pooled_dim_for(args.model, args.base), seed=seed)
+        if tokenizer is not None and text_params is not None:
+            return pipe.encode_prompts(batch_prompts)
+        return synthetic_prompt_embeddings(
+            len(batch_prompts), dim=cross, seed=seed)
+
     t_start = time.perf_counter()
     count = 0
     for i in range(0, len(prompts), args.batch):
         batch_prompts = prompts[i : i + args.batch]
+        n_real = len(batch_prompts)
+        if mesh is not None and n_real % args.dp:
+            # pad the tail batch to a dp multiple; padded outputs dropped
+            batch_prompts = batch_prompts + [batch_prompts[-1]] * (
+                args.dp - n_real % args.dp)
         for rep in range(args.n_per_prompt):
             seed = args.seed + rep * 100003 + i
-            if args.model == "sdxl":
-                if None not in (tokenizer, tokenizer_2, text_params,
-                                text_params_2):
-                    imgs = pipe(batch_prompts, steps=steps, seed=seed)
-                else:
-                    from dgq_tpu.calib.data import synthetic_sdxl_embeddings
+            emb_a, emb_b = batch_embeds(batch_prompts, seed)
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
 
-                    text, pooled = synthetic_sdxl_embeddings(
-                        len(batch_prompts), dim=cross,
-                        pooled_dim=pooled_dim_for(args.model, args.base),
-                        seed=seed,
-                    )
-                    imgs = pipe.generate_from_embeddings(
-                        text, pooled, steps=steps, seed=seed)
-            elif tokenizer is not None and text_params is not None:
-                imgs = pipe(batch_prompts, steps=steps, seed=seed)
-            else:
-                text, uncond = synthetic_prompt_embeddings(
-                    len(batch_prompts), dim=cross, seed=seed
-                )
-                imgs = pipe.generate_from_embeddings(text, uncond, steps=steps, seed=seed)
+                dp_sh = NamedSharding(mesh, PartitionSpec("dp"))
+                emb_a = jax.device_put(emb_a, dp_sh)
+                emb_b = jax.device_put(emb_b, dp_sh)
+            size_kw = {}
+            if args.height > 0:
+                size_kw["height"] = args.height
+            if args.width > 0:
+                size_kw["width"] = args.width
+            imgs = pipe.generate_from_embeddings(
+                emb_a, emb_b, steps=steps, seed=seed, **size_kw)[:n_real]
             for j, img in enumerate(imgs):
                 # '{global_prompt_idx}_{rep}' (the reference's name_rep
                 # scheme, gen4eval_SD.py:247): collision-free for ANY

@@ -30,15 +30,10 @@ def parse_args():
     ap.add_argument("--num_inference_steps", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fp16", action="store_true", help="run in bfloat16")
+    # --text_weights/--text_weights_2/--tokenizer/--tokenizer_2 come from
+    # add_quant_args (shared with the calibration CLIs)
     ap.add_argument("--unet_weights", default=None)
-    ap.add_argument("--text_weights", default=None, help="HF CLIP text model dir")
-    ap.add_argument("--text_weights_2", default=None,
-                    help="SDXL second text encoder dir (OpenCLIP-bigG "
-                         "CLIPTextModelWithProjection)")
     ap.add_argument("--vae_weights", default=None, help="HF VAE dir")
-    ap.add_argument("--tokenizer", default=None, help="local CLIPTokenizer dir")
-    ap.add_argument("--tokenizer_2", default=None,
-                    help="SDXL second tokenizer dir ('!' pad)")
     ap.add_argument("--base", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)

@@ -45,6 +45,21 @@ def parse_args():
                          "(skips reconstruction, continues into the "
                          "activation phase when --use_aq; reference "
                          "calibration.py:152-173)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="in-process data-parallel devices: calibration "
+                         "batches shard over a (dp, tp) mesh and GSPMD "
+                         "averages reconstruction gradients across devices "
+                         "(the working form of the reference's disabled "
+                         "multi-GPU path, quant/calibration.py:414-427)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel devices: weight out-channels "
+                         "shard over the mesh tp axis")
+    ap.add_argument("--partial_dir", default=None,
+                    help="save one .pth per reconstruction unit as it "
+                         "completes and resume by skipping units already "
+                         "saved there (reference per-block saves, "
+                         "calibration.py:456-466; verify with "
+                         "`ckpt_tools check`)")
     ap.add_argument("--tib_recon", action="store_true",
                     help="jointly reconstruct the temporal-information block "
                          "(TFMQ; reference quant_model.py:25,48-49)")
@@ -56,6 +71,9 @@ def parse_args():
     ap.add_argument("--debug", action="store_true",
                     help="= --fast, 4 prompts, 10 iters")
     ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--max_units", type=int, default=None,
+                    help="limit the reconstruction walk to the first N units "
+                         "(debug/smoke runs only)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--unet_weights", default=None,
                     help="path to torch UNet state dict (HF snapshot)")
@@ -91,12 +109,35 @@ def main():
     cfg = qconfig_from_args(args, use_wq=True)
     latent_hw = args.latent_hw or latent_hw
 
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        import jax
+
+        from dgq_tpu.parallel.mesh import make_mesh, shard_params_tp
+
+        if len(jax.devices()) < args.dp * args.tp:
+            raise SystemExit(
+                f"--dp {args.dp} --tp {args.tp} needs {args.dp * args.tp} "
+                f"devices, found {len(jax.devices())}")
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        params = shard_params_tp(mesh, params)
+        log.info(f"mesh: dp={args.dp} tp={args.tp} "
+                 f"({args.dp * args.tp} devices, GSPMD grad averaging)")
+
     def cali_data_fn():
+        from dgq_tpu.cli.common import cali_embeddings_from_args
+
+        embeds, tag = cali_embeddings_from_args(
+            args, args.model, cross, args.cali_prompt_data_n, args.seed,
+            pooled_dim=pooled_dim_for(args.model, args.base))
+        if tag:
+            log.info(f"caption-conditioned calibration data ({args.prompt_path})")
         return build_cali_data(
             args.model, params, apply_fn, cross, args.cali_prompt_data_n,
             args.step_size, latent_hw, args.seed,
             cache_prefix=args.cali_data_path,
             pooled_dim=pooled_dim_for(args.model, args.base),
+            embeds=embeds, embeds_tag=tag,
         )
 
     if args.resume_w:
@@ -129,6 +170,8 @@ def main():
                 batch_size=8 if args.model == "sd" else 4,
                 w=0.01, warmup=0.2, asym=True,
                 unet_apply=apply_fn, progress=log.info,
+                partial_dir=args.partial_dir, mesh=mesh,
+                max_units=args.max_units,
                 tib_recon=args.tib_recon, opt_mode=args.recon_loss,
             )
         path = os.path.join(outpath, "cali_ckpt.pth")

@@ -163,6 +163,217 @@ def test_quantize_weight_use_aq_and_resume(tmp_path):
     assert "weight" in ckpt2 and "act_0" in ckpt2
 
 
+def _write_tiny_clip_assets(tmp_path, width=768, layers=2):
+    """Local tokenizer files + an HF-format CLIPTextModel state dict, tiny
+    enough for CPU: byte-level BPE vocab (514 entries, no merges) and a
+    `layers`-layer width-`width` encoder."""
+    import json
+
+    import torch
+    from transformers.models.clip.tokenization_clip import bytes_to_unicode
+
+    tok_dir = tmp_path / "tokenizer"
+    tok_dir.mkdir()
+    b2u = bytes_to_unicode()
+    vocab = {}
+    for ch in b2u.values():
+        vocab[ch] = len(vocab)
+    for ch in b2u.values():
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tok_dir / "vocab.json").write_text(json.dumps(vocab))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "text_model.embeddings.token_embedding.weight":
+            torch.randn(len(vocab), width, generator=g) * 0.02,
+        "text_model.embeddings.position_embedding.weight":
+            torch.randn(77, width, generator=g) * 0.01,
+        "text_model.final_layer_norm.weight": torch.ones(width),
+        "text_model.final_layer_norm.bias": torch.zeros(width),
+    }
+    for i in range(layers):
+        pre = f"text_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{pre}.{ln}.weight"] = torch.ones(width)
+            sd[f"{pre}.{ln}.bias"] = torch.zeros(width)
+        shapes = {
+            "self_attn.q_proj": (width, width),
+            "self_attn.k_proj": (width, width),
+            "self_attn.v_proj": (width, width),
+            "self_attn.out_proj": (width, width),
+            "mlp.fc1": (width * 4, width), "mlp.fc2": (width, width * 4),
+        }
+        for nm, (o, i_) in shapes.items():
+            sd[f"{pre}.{nm}.weight"] = torch.randn(o, i_, generator=g) * 0.02
+            sd[f"{pre}.{nm}.bias"] = torch.zeros(o)
+    weights = tmp_path / "text_encoder.bin"
+    torch.save(sd, str(weights))
+    return str(tok_dir), str(weights), sd
+
+
+@pytest.mark.slow
+def test_caption_conditioned_calibration(tmp_path):
+    """--prompt_path/--text_weights/--tokenizer route real captions through
+    the CLIP text encoder into the calibration data (the reference's COCO
+    protocol, src/dataset_generation.py:12-58); the cached npz must carry the
+    actual caption embeddings, CFG-doubled (uncond rows first)."""
+    tok_dir, weights, sd = _write_tiny_clip_assets(tmp_path)
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a cat sitting on a red mat\na photo of two dogs\n")
+
+    out = str(tmp_path / "results")
+    r = run([
+        "dgq_tpu.cli.quantize_weight", "--model", "sd", "--base", "32",
+        "--latent_hw", "16", "--wq", "8", "--aq", "8", "--fast", "--no_recon",
+        "--use_aq", "--cali_prompt_data_n", "2", "--step_size", "2",
+        "--prompt_path", str(prompts), "--text_weights", weights,
+        "--tokenizer", tok_dir,
+        "--outdir", out, "--cali_data_path", str(tmp_path / "cali"),
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    runs = os.listdir(out)
+    assert os.path.exists(os.path.join(out, runs[0], "cali_ckpt.pth"))
+
+    caches = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(caches) == 1 and "_c" in caches[0], caches
+
+    # the cached ehs rows must be the real caption embeddings: recompute the
+    # uncond embedding (row 0 of every CFG-doubled chunk) independently
+    import jax.numpy as jnp
+
+    from dgq_tpu.cli.common import encode_cali_prompts
+
+    text, uncond = encode_cali_prompts(
+        "sd", ["a cat sitting on a red mat", "a photo of two dogs"],
+        weights, tok_dir)
+    z = np.load(os.path.join(tmp_path, caches[0]))
+    assert z["ehs"].shape[-1] == 768
+    assert np.allclose(z["ehs"][0], np.asarray(uncond[0]), atol=1e-5)
+    assert np.allclose(z["ehs"][2], np.asarray(text[0]), atol=1e-5)
+    del jnp, sd
+
+    # missing --text_weights must fail fast with guidance
+    r2 = run([
+        "dgq_tpu.cli.quantize_weight", "--model", "sd", "--base", "32",
+        "--latent_hw", "16", "--wq", "8", "--fast", "--no_recon", "--use_aq",
+        "--cali_prompt_data_n", "2", "--step_size", "2",
+        "--prompt_path", str(prompts),
+        "--outdir", str(tmp_path / "r2"),
+        "--cali_data_path", str(tmp_path / "cali2"),
+    ])
+    assert r2.returncode != 0
+    assert "--text_weights" in (r2.stderr + r2.stdout)
+
+
+@pytest.mark.slow
+def test_partial_dir_kill_and_resume(tmp_path):
+    """--partial_dir saves per-unit alphas and a restarted run skips the
+    units already on disk (reference per-block saves + check_weight.py;
+    VERDICT r3 item 6). Simulates a crash by deleting the final checkpoint
+    and ONE partial: the rerun must resume the others and re-reconstruct
+    only the missing unit."""
+    out = str(tmp_path / "results")
+    partials = str(tmp_path / "partials")
+    base_args = [
+        "dgq_tpu.cli.quantize_weight", "--model", "sd", "--base", "32",
+        "--latent_hw", "16", "--wq", "8", "--debug", "--step_size", "2",
+        "--max_units", "3", "--partial_dir", partials,
+        "--cali_data_path", str(tmp_path / "cali"),
+    ]
+    r = run(base_args + ["--outdir", out], timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    saved = sorted(os.listdir(partials))
+    assert len(saved) > 2, saved
+
+    import torch
+
+    runs = os.listdir(out)
+    ckpt1 = torch.load(
+        os.path.join(out, runs[0], "cali_ckpt.pth_weight_only"),
+        map_location="cpu", weights_only=False)["weight"]
+
+    # "crash": final ckpt gone, one unit's partial gone
+    os.remove(os.path.join(partials, saved[-1]))
+
+    out2 = str(tmp_path / "results2")
+    r = run(base_args + ["--outdir", out2], timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    runs2 = os.listdir(out2)
+    log_text = open(os.path.join(out2, runs2[0], "run.log")).read()
+    n_resumed = log_text.count("resumed from partial save")
+    n_recon = log_text.count("] reconstructing ")
+    assert n_resumed == len(saved) - 1, log_text[-2000:]
+    assert n_recon == 1, log_text[-2000:]
+
+    # resumed alphas land in the checkpoint identically to the first run
+    ckpt2 = torch.load(
+        os.path.join(out2, runs2[0], "cali_ckpt.pth_weight_only"),
+        map_location="cpu", weights_only=False)["weight"]
+    alpha_keys = [k for k in ckpt1 if k.endswith("wqtizer.alpha")]
+    assert alpha_keys
+    for k in alpha_keys:
+        assert np.allclose(ckpt1[k].numpy(), ckpt2[k].numpy(), atol=1e-6), k
+
+
+@pytest.mark.slow
+def test_gen4eval_in_process_dp(tmp_path):
+    """--dp 2 shards each generation batch over a 2-device CPU mesh through
+    the ACTUAL CLI code path (VERDICT r3 item 4): 3 prompts at batch 2 force
+    both a full and a padded tail batch; outputs must match the single-
+    device run image for image."""
+    prompts = tmp_path / "prompts.tsv"
+    prompts.write_text("Prompt\nfirst cat\nsecond dog\nthird bird\n")
+
+    def gen(outdir, dp):
+        return run([
+            "dgq_tpu.cli.gen4eval", "--model", "sd", "--base", "32",
+            "--prompts", str(prompts), "--outdir", outdir,
+            "--fp", "--batch", "2", "--steps", "2",
+            "--height", "128", "--width", "128",
+            "--dp", str(dp),
+        ], timeout=900)
+
+    r = gen(str(tmp_path / "dp2"), 2)
+    assert r.returncode == 0, r.stderr[-3000:]
+    r = gen(str(tmp_path / "dp1"), 1)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    files = sorted(os.listdir(tmp_path / "dp2"))
+    assert files == sorted(os.listdir(tmp_path / "dp1"))
+    assert len(files) == 3, files  # padded tail image dropped
+    for f in files:
+        a = np.load(os.path.join(tmp_path, "dp2", f))
+        b = np.load(os.path.join(tmp_path, "dp1", f))
+        assert np.allclose(a, b, atol=1e-4), f
+
+
+@pytest.mark.slow
+def test_quantize_weight_in_process_dp(tmp_path):
+    """--dp 2 runs the reconstruction with dp-sharded captured activations
+    (GSPMD grad averaging) through the actual quantize_weight CLI."""
+    out = str(tmp_path / "results")
+    r = run([
+        "dgq_tpu.cli.quantize_weight", "--model", "sd", "--base", "32",
+        "--latent_hw", "16", "--wq", "8", "--debug", "--step_size", "2",
+        "--max_units", "2", "--dp", "2", "--outdir", out,
+        "--cali_data_path", str(tmp_path / "cali"),
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    runs = os.listdir(out)
+    ckpt = os.path.join(out, runs[0], "cali_ckpt.pth_weight_only")
+    assert os.path.exists(ckpt)
+    log_text = open(os.path.join(out, runs[0], "run.log")).read()
+    assert "mesh: dp=2 tp=1" in log_text
+
+    import torch
+
+    w = torch.load(ckpt, map_location="cpu", weights_only=False)["weight"]
+    assert any(k.endswith("wqtizer.alpha") for k in w)
+
+
 def test_flops_cli():
     r = run(["dgq_tpu.cli.flops", "--model", "sd", "--wq", "4", "--aq", "8"])
     assert r.returncode == 0, r.stderr[-2000:]
