@@ -63,7 +63,7 @@ def bench_sdxl(args):
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
-        fold_act_dequant=not args.no_fold,
+        fold_act_dequant=args.fold,
     )
     if use_group:
         qstate_g, group_layers = _sd_group_qstate(spec, 0, False, dtype)
@@ -115,7 +115,10 @@ def bench_sdxl(args):
         "value": round(b / best, 4),
         "unit": "img/s",
         "vs_baseline": round(b / best / A6000_REF_SDXL_IMGS_PER_SEC, 3),
-        "extra": {"group": args.group, "baseline_estimated": True},
+        "extra": {"group": args.group, "baseline_estimated": True,
+                  "fold_act_dequant": args.fold,
+                  "pallas_attn": not args.no_pallas_attn,
+                  "int8_mxu": args.int8, "int8_conv": args.int8_conv},
     }))
 
 
@@ -158,7 +161,7 @@ def bench_sd(args):
         use_int8_matmul=args.int8,
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
-        fold_act_dequant=not args.no_fold,
+        fold_act_dequant=args.fold,
     )
     t_slots = args.steps
     time_aware = not args.no_time_aware
@@ -271,9 +274,13 @@ def main():
                          "(the pallas call forfeits producer fusion)")
     ap.add_argument("--no-vae", action="store_true",
                     help="exclude VAE decode from the timed step")
-    ap.add_argument("--no-fold", action="store_true",
-                    help="ablation: disable the shifted-clip codes fold on "
-                         "per-tensor layers (plain fake-quant deploy path)")
+    ap.add_argument("--fold", dest="fold", action="store_true", default=False,
+                    help="ablation: enable the shifted-clip codes fold on "
+                         "per-tensor layers (measured 2.5%% slower e2e on "
+                         "v5e: 0.871 vs 0.894 img/s — the scale epilogue "
+                         "breaks conv+bias fusion)")
+    ap.add_argument("--no-fold", dest="fold", action="store_false",
+                    help="(default) plain fused fake-quant deploy path")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the extra g8 measurement")
     args = ap.parse_args()
@@ -286,13 +293,21 @@ def main():
     import copy
 
     imgs_per_sec = bench_sd(args)
+    # ablation switches are recorded so a --no-fold/--no-pallas-attn/
+    # --no-time-aware run is distinguishable from the headline config in
+    # captured BENCH json files
     extra = {
         "includes_vae_decode": not args.no_vae,
         "int8_mxu": args.int8,
         "int8_conv": args.int8_conv,
         "group": args.group,
+        "fold_act_dequant": args.fold,
+        "pallas_attn": not args.no_pallas_attn,
+        "time_aware": not args.no_time_aware,
         "baseline_estimated": True,
     }
+    if args.group > 1:
+        extra["group_impl"] = args.group_impl
     elapsed = time.perf_counter() - t_start
     if args.group <= 1 and not args.headline_only and elapsed < 22 * 60:
         # also measure the g=8 flagship-quality config (group convs via the

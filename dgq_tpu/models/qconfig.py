@@ -122,7 +122,16 @@ class QConfig:
     # identical to fake-quant-then-matmul (Δ·q' == fq(x)); the input-sized
     # elementwise chain shrinks from 6 ops to 3 (div, round, clip) and zero
     # padding stays exact because code 0 dequantizes to 0.0.
-    fold_act_dequant: bool = True
+    #
+    # Default OFF for per-tensor layers: measured end-to-end on v5e (g=1
+    # 50-step headline) the codes fold is ~2.5% SLOWER than plain fused
+    # fake-quant — 0.871 vs 0.894 img/s (bench.py A/B, round 4) — the
+    # post-accumulator Δ·acc + bias epilogue breaks XLA's conv+bias+consumer
+    # fusion and that tax exceeds the 3-op elementwise saving. The GROUP
+    # taps path keeps its own shifted-clip fold (group_quant_conv2d_taps):
+    # there the dequantize being folded is 9x input-sized (per-tap), and the
+    # same fold measures 1.45 vs 1.98 ms/conv in its favor.
+    fold_act_dequant: bool = False
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

@@ -39,7 +39,8 @@ def _round_up(x, m):
 
 
 # -------------------------------------------------- shared loop bodies ------
-def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False):
+def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
+                scores_out_ref=None):
     """Phase-1 loop: per-row running (max m, normalizer l) over key blocks.
 
     Shared by the standalone stats kernel and the merged static-delta kernel
@@ -51,6 +52,10 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False):
     NON-PEAK probability, exp(m2 - m)/l — 1/min(l) (the global max including
     the peak) would pick a delta ~1 whenever the start token dominates,
     which is exactly the situation start_peak exists for.
+
+    scores_out_ref: optional (bt, S) f32 VMEM scratch; the masked score
+    blocks are written there so the accumulate loop of the same grid cell
+    can skip recomputing QKᵀ (halves the merged kernel's MXU work).
     """
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
@@ -69,6 +74,8 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False):
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
         if needs_mask:
             s = jnp.where(col < s_valid, s, NEG_INF)
+        if scores_out_ref is not None:
+            scores_out_ref[:, pl.ds(j * block_s, block_s)] = s
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True)
         if track_nonpeak_max:
@@ -85,7 +92,8 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False):
 
 
 def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
-                      block_s, sm_mode, sm_bits, start_peak):
+                      block_s, sm_mode, sm_bits, start_peak,
+                      scores_in_ref=None):
     """Phase-2 loop: probs = exp(s - m)/l (exact final softmax), quantize,
     multiply V. Shared by the two-pass accumulate kernel and the merged
     static-delta kernel.
@@ -93,10 +101,26 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
     log2 mode is transcendental-free: -log2(p/delta) with p = exp(s-m)/l is
     LINEAR in the raw score,
         -log2(p/delta) = log2(delta) + (m + ln l - s) / ln 2,
-    so the quantized exponent is round(a - s/ln2) and 2^-q is constructed by
-    exponent-field bit manipulation. This loop runs no exp/log in log2 mode.
+    so the quantized exponent is round(a - s/ln2) and 2^-q·delta is
+    constructed directly in the float bit pattern. This loop runs no exp/log
+    in log2 mode, and the whole quantize is ~6 VPU ops per element:
+
+        y  = a_row - s/ln2               (fused multiply-add)
+        y  = clamp(y, 0, ub)             (ub = min(level-1, exp(delta)-1))
+        t  = y + 1.5·2^23                 # mantissa now holds round(y),
+        pq = bitcast(bits(delta) - (bits(t) << 23))
+                                          # 2^-round(y) · delta EXACTLY:
+                                          # subtracting q<<23 decrements the
+                                          # exponent field of delta by q
+
+    bits(t) = C + round(y) with C's low 9 bits zero, so (bits(t)<<23) ==
+    round(y)<<23 (mod 2^32) — no masking needed. The upper clamp `ub` keeps
+    the exponent subtraction clear of the denormal range: codes the
+    reference clips to [0, level-1] and that underflow 2^-q·delta to ~0 in
+    f32 land at 2^(1-126)-scale values (≤1.2e-38) instead of exact 0 —
+    below bf16's smallest subnormal, so outputs are identical. Rounding is
+    round-half-even both ways (f32 addition vs jnp.round).
     """
-    inv_l = 1.0 / l
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     level = 2 ** sm_bits
@@ -104,29 +128,44 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
     inv_ln2 = 1.4426950408889634
     # per-row affine constant: q_exp = round(a_row - s * inv_ln2)
     a_row = jnp.log2(delta) + (m + jnp.log(l)) * inv_ln2  # (bt, 1)
+    # (1,1) vectors, not scalars: Mosaic's tpu.bitcast only takes vectors
+    d_bits = jax.lax.bitcast_convert_type(
+        jnp.full((1, 1), delta, jnp.float32), jnp.int32)
+    ub = jnp.minimum((d_bits >> 23) - 1, level - 1).astype(jnp.float32)
+    magic = jnp.float32(1.5 * 2 ** 23)
+    inv_delta = 1.0 / delta          # scalar (uniform mode)
+    a2_row = m + jnp.log(l)          # (bt, 1) row constant (uniform mode)
 
     def body(j, acc):
-        k = k_ref[0, pl.ds(j * block_s, block_s), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        if scores_in_ref is not None:
+            # scores (already masked) cached by the stats loop of this grid
+            # cell — no second QKᵀ matmul
+            s = scores_in_ref[:, pl.ds(j * block_s, block_s)]
+        else:
+            k = k_ref[0, pl.ds(j * block_s, block_s), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
         col = None
         if needs_mask or start_peak:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-        if needs_mask:
+        if needs_mask and scores_in_ref is None:
             s = jnp.where(col < s_valid, s, NEG_INF)
         if sm_mode == "log2":
-            qexp = jnp.clip(jnp.round(a_row - s * inv_ln2), 0.0, float(level - 1))
-            qi = qexp.astype(jnp.int32)
-            # 2^-q by exponent-field construction; q > 126 underflows to 0
+            # jnp.minimum/maximum (not lax.clamp): ub is a (1,1) vector
+            y = jnp.minimum(jnp.maximum(a_row - s * inv_ln2, 0.0), ub)
+            t_bits = jax.lax.bitcast_convert_type(y + magic, jnp.int32)
             pq = jax.lax.bitcast_convert_type(
-                jnp.maximum(127 - qi, 0) << 23, jnp.float32)
-            pq = jnp.where(qi > 126, 0.0, pq) * delta
+                d_bits - (t_bits << 23), jnp.float32)
         elif sm_mode == "uniform":
-            p = jnp.exp(s - m) * inv_l
-            pq = jnp.clip(jnp.round(p / delta), 0, level - 1) * delta
+            # exp(s-m)/l = exp(s - (m + ln l)): inv_l folds into the row
+            # constant, and the delta divide is a hoisted reciprocal multiply
+            p = jnp.exp(s - a2_row)
+            pq = jnp.minimum(jnp.maximum(jnp.round(p * inv_delta), 0.0),
+                             float(level - 1)) * delta
         else:
-            pq = jnp.exp(s - m) * inv_l
+            pq = jnp.exp(s - a2_row)
         if start_peak:
             # key position 0 is restored unquantized (sd.py:191-195).
             # Only the first column can match, so the exact probability is
@@ -134,7 +173,7 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
             # re-materializing exp(s - m)/l over the whole block (which
             # would reintroduce the full transcendental cost the log2
             # bit-trick path eliminates).
-            p0 = jnp.exp(s[:, 0:1] - m) * inv_l
+            p0 = jnp.exp(s[:, 0:1] - a2_row)
             pq = jnp.where(col == 0, p0, pq)
         if needs_mask:
             pq = jnp.where(col < s_valid, pq, 0.0)
@@ -183,8 +222,8 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
 
 
 # ------------------------------------------- merged static-delta quant ------
-def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, *,
-                         scale, s_valid, block_s, sm_mode, sm_bits,
+def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, scores_ref,
+                         *, scale, s_valid, block_s, sm_mode, sm_bits,
                          start_peak):
     """Stats + quantized accumulation in ONE program (static-delta modes).
 
@@ -194,17 +233,92 @@ def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, *,
     have no cross-tile dependency, so both loops run back-to-back in one
     kernel over the same VMEM-resident K/V: one pallas_call instead of two,
     no HBM re-read of Q/K between phases, no m/l round-trip through HBM.
-    Numerics are identical to the two-pass form (same shared loop bodies).
+
+    The stats loop caches this q-tile's (masked) scores in a VMEM scratch
+    (`scores_ref`) that the accumulate loop reads back — QKᵀ runs ONCE, so
+    the quantized kernel's MXU work equals the unquantized flash kernel's
+    (the caller sizes block_t to keep the scratch within VMEM). Numerics
+    are identical to the two-pass form (same shared loop bodies).
     """
     q = q_ref[0]
     m, l = _stats_loop(q, k_ref, scale=scale, s_valid=s_valid,
-                       block_s=block_s)
+                       block_s=block_s, scores_out_ref=scores_ref)
     acc = _quant_accum_loop(
         q, k_ref, v_ref, m, l, delta_ref[0, 0],
         scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
-        sm_bits=sm_bits, start_peak=start_peak,
+        sm_bits=sm_bits, start_peak=start_peak, scores_in_ref=scores_ref,
     )
     o_ref[0] = acc.astype(o_ref.dtype)
+
+
+# ------------------------------------- fast static-uniform (g=1 policy) -----
+def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
+                           p_scratch, mrec_scratch, *,
+                           scale, s_valid, block_s, sm_bits):
+    """Uniform softmax quantization (the reference's g=1 policy) at
+    unquantized-flash cost plus ~3 VPU ops per element.
+
+    Loop 1 is the flash stats loop, except the exp(s - m_running) blocks it
+    computes for l anyway are SAVED to a VMEM scratch, along with the
+    running row max at each block (mrec). Loop 2 then reconstructs the exact
+    final probability per element as   p = p_saved · exp(m_block - m_final)
+    — one multiply, no second QKᵀ and no second exp. The quantize itself is
+        codes = min(round(p_saved · cf), level-1),
+        cf    = exp(m_block - m_final) / (l · Δ)     (per row-block scalar)
+    and Δ is hoisted OUT of the matmul: the kernel accumulates integer codes
+    (exact in bf16, ≤ 2^bits-1) against V and scales the f32 accumulator by
+    Δ once at the end. round(x) ≥ 0 since p ≥ 0, so no lower clip is needed.
+    Numerically this differs from quantize-then-matmul only in f32
+    reassociation (p·(1/(lΔ)) vs (p/l)/Δ), which can flip a rounding bin for
+    values within one ulp of a bin boundary — the same measure-zero boundary
+    class the log2 kernel documents."""
+    q = q_ref[0]
+    s_total = k_ref.shape[1]
+    n_blocks = s_total // block_s
+    level = 2 ** sm_bits
+    needs_mask = s_valid < s_total
+    bt = q.shape[0]
+
+    def body1(j, carry):
+        m, l = carry
+        k = k_ref[0, pl.ds(j * block_s, block_s), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p_scratch[:, pl.ds(j * block_s, block_s)] = p
+        # one 128-wide aligned stripe per block (Mosaic requires lane-dim
+        # dynamic indices provably 128-aligned; a 1-lane store is not)
+        mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = (
+            jnp.broadcast_to(m_new, (bt, 128)))
+        l = l * jnp.exp(m - m_new) + jnp.sum(p, axis=1, keepdims=True)
+        return m_new, l
+
+    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, n_blocks, body1, (m0, l0))
+
+    delta = delta_ref[0, 0]
+    inv_ld = 1.0 / (l * delta)
+
+    def body2(j, acc):
+        mj = mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)][:, :1]
+        cf = jnp.exp(mj - m) * inv_ld  # (bt, 1)
+        p = p_scratch[:, pl.ds(j * block_s, block_s)]
+        codes = jnp.minimum(jnp.round(p * cf), float(level - 1))
+        v = v_ref[0, pl.ds(j * block_s, block_s), :]
+        return acc + jax.lax.dot_general(
+            codes.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc0 = jnp.zeros((bt, v_ref.shape[2]), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_blocks, body2, acc0)
+    o_ref[0] = (delta * acc).astype(o_ref.dtype)
 
 
 # ------------------------------------------------------- single-pass FP -----
@@ -301,30 +415,78 @@ def fused_attention(
         return out[:, :t, :d]
 
     if sm_mode in ("log2", "uniform"):
-        # static delta: no cross-tile dependency -> one merged kernel
+        # static delta: no cross-tile dependency -> one merged kernel with a
+        # VMEM score scratch (QKᵀ once). The scratch is (bt, sp) f32; shrink
+        # the q-tile when a long key axis would blow the ~16 MB VMEM budget
+        # (SDXL 1024px self-attention: sp = 16384 -> bt 128).
         assert sm_delta is not None, "static softmax quant needs sm_delta"
+        # scratch budget 8 MB with the kernel's scoped-VMEM limit raised to
+        # 32 MB (v5e default scope is 16 MB; at sp=4096/bt=512 the probs
+        # scratch + mrec + K/V double-buffers total 16.1 MB — 116 KB over —
+        # and halving bt instead measured 1.3 ms slower at the 64px shape:
+        # grid overhead beats scratch pressure)
+        bt_s = bt
+        while bt_s > 128 and bt_s * sp * 4 > 8 * 1024 * 1024:
+            bt_s //= 2
+        tp_s = _round_up(t, bt_s)
+        if tp_s != tp:
+            qp_s = jnp.pad(q, ((0, 0), (0, tp_s - t), (0, dp - d)))
+        else:
+            qp_s = qp
+        grid_s = (bh, tp_s // bt_s)
         delta_arr = jnp.reshape(sm_delta, (1, 1)).astype(jnp.float32)
+        if sm_mode == "uniform" and not start_peak:
+            # dedicated fast path: probs cached from the stats loop, integer
+            # codes into the MXU, delta hoisted to the epilogue
+            out = pl.pallas_call(
+                functools.partial(
+                    _static_uniform_kernel, **common, sm_bits=sm_bits,
+                ),
+                grid=grid_s,
+                in_specs=[
+                    pl.BlockSpec((1, bt_s, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((1, bt_s, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((bh, tp_s, dp), q.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((bt_s, sp), jnp.float32),
+                    pltpu.VMEM((bt_s, (sp // bs) * 128), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=32 * 1024 * 1024),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * bh * tp_s * sp * dp,
+                    bytes_accessed=2 * bh * (tp_s + 2 * sp) * dp,
+                    transcendentals=bh * tp_s * sp,
+                ),
+            )(qp_s, kp, vp, delta_arr)
+            return out[:, :t, :d]
         out = pl.pallas_call(
             functools.partial(
                 _static_quant_kernel, **common, sm_mode=sm_mode,
                 sm_bits=sm_bits, start_peak=start_peak,
             ),
-            grid=grid,
+            grid=grid_s,
             in_specs=[
-                pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bt_s, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, sp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+            out_specs=pl.BlockSpec((1, bt_s, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, tp_s, dp), q.dtype),
+            scratch_shapes=[pltpu.VMEM((bt_s, sp), jnp.float32)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=6 * bh * tp * sp * dp,
-                bytes_accessed=2 * bh * (tp + 2 * sp) * dp,
-                transcendentals=2 * bh * tp * sp,
+                flops=4 * bh * tp_s * sp * dp,
+                bytes_accessed=2 * bh * (tp_s + 2 * sp) * dp,
+                transcendentals=2 * bh * tp_s * sp,
             ),
-        )(qp, kp, vp, delta_arr)
+        )(qp_s, kp, vp, delta_arr)
         return out[:, :t, :d]
 
     # ---- log2_real_time: two passes (delta is a GLOBAL reduction) ----

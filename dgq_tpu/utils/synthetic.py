@@ -48,11 +48,21 @@ def synthetic_group_qstate(spec, t_slots: int, time_aware: bool, dtype):
 
 
 def synthetic_pertensor_qstate(spec, t_slots: int, time_aware: bool, dtype):
-    """Per-tensor A8 qparams for every activation point (the g=1 config)."""
+    """Per-tensor A8 qparams for every activation point (the g=1 config).
+
+    Softmax points (aqtizer_w) are included with uniform always-zero params:
+    the reference's g=1 policy disables the t2i log2 tricks but still
+    quantizes the softmax with SOFTMAX_A_BIT = A_BITS uniform quantizers
+    (scripts/quantize_act.sh:16-26,38) — omitting them would benchmark a
+    cheaper program than the reference's configuration."""
+    from dgq_tpu.calib.act_calib import softmax_qpoint_names
+
     shape = (t_slots,) if time_aware else ()
-    return {
-        "a": {n: QParams(jnp.full(shape, 0.05, dtype),
-                         jnp.full(shape, 128.0, dtype))
-              for n in act_qpoint_names(spec)},
-        "sm": {},
-    }
+    a = {n: QParams(jnp.full(shape, 0.05, dtype),
+                    jnp.full(shape, 128.0, dtype))
+         for n in act_qpoint_names(spec)}
+    for n in softmax_qpoint_names(spec):
+        # always_zero uniform: delta ~ 1/(2^8-1) over probabilities, zp 0
+        a[n] = QParams(jnp.full(shape, 1.0 / 255.0, dtype),
+                       jnp.zeros(shape, dtype))
+    return {"a": a, "sm": {}}

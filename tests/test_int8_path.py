@@ -307,14 +307,14 @@ def test_group_taps_matches_unfold():
 
 
 def test_fold_act_dequant_matches_fake_quant():
-    """The codes-fold deploy path (fold_act_dequant=True, the default) must be
+    """The codes-fold deploy path (fold_act_dequant=True; default False
+    since the round-4 A/B measured it ~2.5% slower end-to-end) must be
     numerically identical to fake-quant-then-matmul for per-tensor scales —
     values AND gradients (STE/clip regions)."""
     from dgq_tpu.models.layers import quant_conv2d
 
     rng = np.random.RandomState(7)
-    cfg_on = QConfig(use_aq=True, a_bits=8)
-    assert cfg_on.fold_act_dequant
+    cfg_on = QConfig(use_aq=True, a_bits=8, fold_act_dequant=True)
     cfg_off = cfg_on.replace(fold_act_dequant=False)
 
     # -- linear --
@@ -374,7 +374,7 @@ def test_fold_path_publishes_taps():
     from dgq_tpu.models.qconfig import collect_act_taps
 
     rng = np.random.RandomState(8)
-    cfg = QConfig(use_aq=True, a_bits=8)
+    cfg = QConfig(use_aq=True, a_bits=8, fold_act_dequant=True)
     x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
     p = {"w": jnp.asarray(rng.randn(8, 8).astype(np.float32)), "b": None}
     qstate = {"a": {"L": QParams(jnp.asarray(0.05), jnp.asarray(128.0))},
