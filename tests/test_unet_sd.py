@@ -325,3 +325,116 @@ def test_full_unet_quantized_parity(tmp_path):
     # mean on this seed), i.e. within quantization-chaos noise
     assert d.mean() < 2.0 * max(chaos.mean(), 1e-3), (d.mean(), chaos.mean())
     assert d.max() < 2.0 * max(chaos.max(), 1e-2), (d.max(), chaos.max())
+
+
+@pytest.mark.skipif(
+    not (HAS_REF and os.environ.get("RUN_SLOW")), reason="slow; set RUN_SLOW=1"
+)
+def test_full_unet_flagship_quantized_parity(tmp_path):
+    """Full-width parity in the FLAGSHIP configuration the paper's headline
+    results use (reference scripts/quantize_act.sh:16-25): g=8 group
+    activation quantization, per-timestep (time-aware) qstate selection,
+    t2i_log_quant + t2i_real_time + t2i_start_peak softmax handling, and the
+    fused Pallas attention kernel — vs the reference's own QuantModel
+    carrying the identical checkpoint state. Chaos-bound equivalence as in
+    test_full_unet_quantized_parity."""
+    import torch
+    from ref_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    os.environ["DIFFUSERS_REWRITE"] = "sd"
+    from diffusers_rewrite.sd import UNet2DConditionModel
+    from quant.quant_layer import UniformAffineQuantizer
+    from quant.quant_model import QuantModel
+
+    from dgq_tpu.calib.act_calib import stack_time_qstates
+    from dgq_tpu.calib.weight_calib import fold_weight_quant
+    from dgq_tpu.io.dgq_ckpt import act_dict_to_qstate, load_weight_only
+    from dgq_tpu.pipeline.sampler import select_time_qstate
+
+    torch.manual_seed(0)
+    ref = UNet2DConditionModel().eval()
+    wq_params = {"bits": 4, "channel_wise": True, "leaf_param": True}
+    aq_params = {"bits": 8, "channel_wise": False, "leaf_param": True}
+    softmax_aq_params = {"softmax_a_bit": 8, "t2i_log_quant": True,
+                         "t2i_real_time": True, "t2i_start_peak": True,
+                         "log_max_1": False}
+    qnn = QuantModel(ref, wq_params, aq_params, softmax_aq_params).eval()
+    qnn.set_quant_state(use_wq=True, use_aq=True)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 64, 64).astype(np.float32)
+    t = np.asarray([500], np.int64)
+    ehs = rng.randn(1, 77, 768).astype(np.float32)
+    tx, tt, te = (torch.from_numpy(x), torch.from_numpy(t),
+                  torch.from_numpy(ehs))
+    with torch.no_grad():
+        qnn.model(tx, tt, te)  # lazy init (real_time softmax stays dynamic)
+    qnn.disable_out_quantization()
+    # DGQ g=8 group calibration, the reference flow
+    # (calibration_group_quantization.py:78-101): record per-axis stats on
+    # the im2col-unfolded conv inputs, then k-means into 8 groups
+    qnn.set_group_num(8)
+    with torch.no_grad():
+        qnn.model(tx, tt, te)
+    qnn.done_group_num(8, mode="minmax")
+    with torch.no_grad():
+        ref_out = qnn.model(tx, tt, te)[0].numpy()
+        ref_pert = qnn.model(torch.from_numpy(x + 1e-6), tt, te)[0].numpy()
+    chaos = np.abs(ref_out - ref_pert)
+
+    for m in qnn.modules():
+        if isinstance(m, UniformAffineQuantizer) and m.delta is not None:
+            if not torch.is_tensor(m.zero_point):
+                m.zero_point = torch.nn.Parameter(
+                    torch.tensor(float(m.zero_point)))
+            elif not isinstance(m.zero_point, torch.nn.Parameter):
+                m.zero_point = torch.nn.Parameter(m.zero_point)
+            if not isinstance(m.delta, torch.nn.Parameter):
+                m.delta = torch.nn.Parameter(m.delta)
+    path = str(tmp_path / "cali_ckpt.pth_weight_only")
+    torch.save({"weight": qnn.state_dict()}, path)
+
+    act = {}
+    for name, m in qnn.model.named_modules():
+        if "aqtizer" in name and len(list(m.cpu().state_dict().keys())) == 2:
+            sd = m.cpu().state_dict()
+            act[f"model.{name}.delta"] = sd["delta"]
+            act[f"model.{name}.zero_point"] = sd["zero_point"]
+
+    spec = sd_unet_spec()
+    params, wqp, alphas = load_weight_only(path, spec)
+    qstate, group_layers = act_dict_to_qstate(
+        {k: v.numpy() for k, v in act.items()}, spec)
+    assert group_layers, "g=8 must produce group conv layers"
+
+    cfg = QConfig(w_bits=4, a_bits=8, softmax_bits=8,
+                  use_wq=True, use_aq=True,
+                  t2i_log_quant=True, t2i_real_time=True, t2i_start_peak=True,
+                  group_conv_layers=group_layers, group_conv_impl="taps",
+                  use_pallas_attention=True)
+    params_q = fold_weight_quant(params, wqp, spec, cfg,
+                                 alphas=alphas or None, soft=False)
+
+    # time-aware: slot 0 holds deliberately-wrong scales (2x deltas), slot 1
+    # the real ones; t=500 at 2 steps selects slot (1000-500)//500 = 1
+    # through the sampler's own selection helper — parity holding proves the
+    # [T]-stacked selection picks the right slot at full width
+    qstate_bad = jax.tree.map(lambda v: v * 2.0, qstate)
+    stacked = stack_time_qstates({"act_0": qstate_bad, "act_1": qstate})
+    qs_sel = select_time_qstate(stacked, jnp.asarray(500), 2)
+
+    ours = unet_sd_apply(
+        params_q, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(t), jnp.asarray(ehs), qstate=qs_sel, cfg=cfg,
+    )
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    d = np.abs(ours - ref_out)
+    print(f"\nfull-width FLAGSHIP (g=8, time-aware, t2i tricks, pallas "
+          f"attention) quantized-forward: ours-vs-ref max={d.max():.3e} "
+          f"mean={d.mean():.3e}; reference self-chaos max={chaos.max():.3e} "
+          f"mean={chaos.mean():.3e}")
+    assert d.mean() < 2.0 * max(chaos.mean(), 1e-3), (d.mean(), chaos.mean())
+    assert d.max() < 2.0 * max(chaos.max(), 1e-2), (d.max(), chaos.max())
