@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -175,7 +176,15 @@ def main():
     from dgq_tpu.models.qconfig import QConfig
 
     run(params, QConfig(), None, False, "fp")
-    tag = f"w{args.wq}a{args.aq if args.use_aq else 32}{'g?' if args.use_group else 'g1'}"
+    if args.use_group:
+        # group count isn't recoverable from the ckpt (deltas are saved
+        # per-channel-expanded, §2.3); recover it from the reference-format
+        # filename `...w{W}a{A}g{G}.pth` when present.
+        m = re.search(r"g(\d+)", os.path.basename(args.cali_ckpt or ""))
+        gtag = f"g{m.group(1)}" if m else "g"
+    else:
+        gtag = "g1"
+    tag = f"w{args.wq}a{args.aq if args.use_aq else 32}{gtag}"
     run(params_q, cfg, qstate, time_aware, tag)
 
 

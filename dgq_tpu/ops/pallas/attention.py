@@ -304,12 +304,23 @@ def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
 
     delta = delta_ref[0, 0]
     inv_ld = 1.0 / (l * delta)
+    # round-half-even via the magic-constant trick, reading the rounded
+    # value out of the BIT PATTERN (jnp.round lowers to a multi-op
+    # sign-handling sequence on the VPU; a float (x+magic)-magic pair gets
+    # algebraically cancelled / computed in excess precision by XLA:CPU).
+    # bits(x + 1.5*2^23) = C0 + round(x) exactly for 0 <= x < 2^22, with
+    # C0 = bits(1.5*2^23); clipping to level-1 BEFORE the round is
+    # equivalent to clipping after (x in (L-1.5, L-1] rounds to L-1 either
+    # way) and keeps the mantissa in range for any delta.
+    magic = jnp.float32(1.5 * 2 ** 23)
+    c0 = jnp.int32((150 << 23) | (1 << 22))
 
     def body2(j, acc):
         mj = mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)][:, :1]
         cf = jnp.exp(mj - m) * inv_ld  # (bt, 1)
         p = p_scratch[:, pl.ds(j * block_s, block_s)]
-        codes = jnp.minimum(jnp.round(p * cf), float(level - 1))
+        x = jnp.minimum(p * cf, float(level - 1))
+        codes = jax.lax.bitcast_convert_type(x + magic, jnp.int32) - c0
         v = v_ref[0, pl.ds(j * block_s, block_s), :]
         return acc + jax.lax.dot_general(
             codes.astype(v.dtype), v, (((1,), (0,)), ((), ())),
