@@ -384,11 +384,28 @@ def fused_attention(
     sm_delta: Optional[jax.Array] = None,   # static delta (log2/uniform modes)
     start_peak: bool = False,
     block_t: int = 512,
-    block_s: int = 1024,
+    block_s: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     bh, t, d = q.shape
     s = k.shape[1]
+    if block_s is None:
+        # Per-mode inner-loop granularity (measured on v5e at the 64px
+        # self-attention shape, scripts/bench_attn.py): a larger K-block
+        # amortizes fori_loop overhead and feeds bigger MXU dots. The
+        # dedicated uniform kernel and the two-pass real_time kernels take
+        # full-S blocks (6.52 -> 5.72 ms and 7.79 -> 7.52 / +sp 8.35 -> 7.49);
+        # the merged static-delta kernel caps at 2048 (6.05 -> 5.76; 4096
+        # overflows its default VMEM scope and fails to compile); the
+        # unquantized flash kernel is flat in block_s (5.61 at 1024).
+        if sm_mode == "uniform" and not start_peak:
+            block_s = 4096
+        elif sm_mode in ("log2", "uniform"):
+            block_s = 2048
+        elif sm_mode == "log2_real_time":
+            block_s = 4096
+        else:
+            block_s = 1024
     # pad head_dim to a half-register (64) when possible: SD heads are 40/80
     # wide, and padding to 128 wastes up to 3.2x MXU work on the D contraction
     dp = _round_up(d, 64 if d <= 64 else 128)
