@@ -383,7 +383,7 @@ def fused_attention(
     sm_bits: int = 8,
     sm_delta: Optional[jax.Array] = None,   # static delta (log2/uniform modes)
     start_peak: bool = False,
-    block_t: int = 512,
+    block_t: Optional[int] = None,
     block_s: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -409,8 +409,19 @@ def fused_attention(
     # pad head_dim to a half-register (64) when possible: SD heads are 40/80
     # wide, and padding to 128 wastes up to 3.2x MXU work on the D contraction
     dp = _round_up(d, 64 if d <= 64 else 128)
-    bt = min(block_t, _round_up(t, 8))
     bs = min(block_s, _round_up(s, 128))
+    if block_t is None:
+        # Small key axes (cross-attention: S=77 -> sp=128) make a 512-row
+        # q-tile pathologically launch-bound: T=4096 yields 8*BH tiny grid
+        # steps (measured 2.19 ms for an S=77 FP call whose compute+memory
+        # SOL is <0.1 ms — pure per-step overhead). Grow the q-tile until
+        # the per-tile f32 score block reaches ~2 MB; the measured-good 512
+        # is unchanged for the big self-attention shapes (bs >= 1024).
+        block_t = 512
+        while (block_t < t and block_t < 2048
+               and block_t * 2 * bs * 4 <= 2 * 1024 * 1024):
+            block_t *= 2
+    bt = min(block_t, _round_up(t, 8))
     tp = _round_up(t, bt)
     sp = _round_up(s, bs)
 

@@ -15,6 +15,8 @@ from dgq_tpu.ops.pallas.attention import fused_attention
 SHAPES = [
     ("64px-self", 64, 4096, 4096, 40),
     ("32px-self", 64, 1024, 1024, 80),
+    ("64px-cross", 64, 4096, 77, 40),
+    ("32px-cross", 64, 1024, 77, 80),
 ]
 
 
@@ -45,6 +47,9 @@ def main():
             ("log2_real_time+sp", {"start_peak": True}),
         ]:
             m = mode.replace("+sp", "")
+            bt = os.environ.get("BENCH_ATTN_BLOCK_T")
+            if bt:
+                kw = dict(kw, block_t=int(bt))
             try:
                 ms = timeit(fused_attention, q, k, v, scale, sm_mode=m,
                             sm_bits=8, **kw)

@@ -65,6 +65,31 @@ def main():
 
     qstate = synthetic_pertensor_qstate(spec, 0, False, dtype)
 
+    if "--group" in sys.argv:
+        # g=8 flagship decomposition: isolate the group-conv taps cost from
+        # the t2i softmax-trick cost at the same build
+        from dgq_tpu.utils.synthetic import synthetic_group_qstate
+
+        g_qstate, g_layers = synthetic_group_qstate(spec, 0, False, dtype)
+        t2i = dict(t2i_log_quant=True, t2i_real_time=True,
+                   t2i_start_peak=True, use_pallas_attention=True)
+        configs = [
+            ("g8 deploy (taps+t2i)",
+             cfgq.replace(group_conv_layers=g_layers, **t2i), g_qstate),
+            ("g8 convs, uniform sm",
+             cfgq.replace(group_conv_layers=g_layers,
+                          use_pallas_attention=True), g_qstate),
+            ("t2i, per-tensor convs", cfgq.replace(**t2i), qstate),
+            ("g1 deploy (uniform sm)",
+             cfgq.replace(use_pallas_attention=True), qstate),
+        ]
+        for label, cfg, qs in configs:
+            fn = jax.jit(lambda p, xx, tt, ee, q, c=cfg: unet_sd_apply(
+                p, xx, tt, ee, qstate=q, cfg=c))
+            dt = timeit(fn, (params_q, x, t, ehs, qs))
+            print(f"{label:26s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
+        return
+
     configs = [
         ("fp (no quant)", QConfig(), None),
         ("wq+aq xla-attn", cfgq, qstate),
