@@ -127,6 +127,32 @@ class TestFusedAttention:
                               block_t=32, block_s=128, interpret=True)
         assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
+    @pytest.mark.parametrize("mode,sp", [
+        ("none", False), ("uniform", False), ("uniform", True),
+        ("log2", False), ("log2_real_time", False), ("log2_real_time", True),
+    ])
+    def test_default_blocks_grown_qtile(self, mode, sp):
+        """Default (adaptive) block sizing at a cross-attention-like shape:
+        t=1024 with a small padded key axis (S=77 -> 128) grows the q-tile
+        past the 512 base (launch-overhead fix, round 4). Exercises the
+        block_t=None/block_s=None path the model actually runs."""
+        t, s, d = 1024, 77, 40
+        q = rand(1, t, d, seed=11, scale=0.5)
+        k = rand(1, s, d, seed=12, scale=0.5)
+        v = rand(1, s, d, seed=13)
+        scale = d ** -0.5
+        delta = (jnp.asarray(0.7)
+                 if mode in ("log2", "uniform") else None)
+        ref = attention_reference(q, k, v, scale, sm_mode=mode, sm_bits=8,
+                                  sm_delta=delta, start_peak=sp)
+        out = fused_attention(q, k, v, scale, sm_mode=mode, sm_bits=8,
+                              sm_delta=delta, start_peak=sp, interpret=True)
+        o, r = np.asarray(out), np.asarray(ref)
+        # log2 modes: rare rounding-boundary bin flips are expected (the
+        # documented measure-zero class); bound their count, not their size
+        mism = np.abs(o - r) > 2e-3
+        assert mism.mean() < 5e-4, (mism.mean(), np.abs(o - r).max())
+
     def test_real_time_delta_identity(self):
         """1/min(l) == max softmax prob (the identity the kernel relies on)."""
         q = rand(3, 50, 32, seed=9)
