@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# f32 score/probs scratch cap for the merged static-delta kernels; q-tiles
+# halve until they fit (patchable for block-size studies)
+_STATIC_SCRATCH_BUDGET = 8 * 1024 * 1024
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -465,7 +469,7 @@ def fused_attention(
         # and halving bt instead measured 1.3 ms slower at the 64px shape:
         # grid overhead beats scratch pressure)
         bt_s = bt
-        while bt_s > 128 and bt_s * sp * 4 > 8 * 1024 * 1024:
+        while bt_s > 128 and bt_s * sp * 4 > _STATIC_SCRATCH_BUDGET:
             bt_s //= 2
         tp_s = _round_up(t, bt_s)
         if tp_s != tp:
