@@ -27,8 +27,10 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgq_jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from dgq_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # ~/.cache/dgq_tpu_xla; survives across processes
 
 A6000_REF_IMGS_PER_SEC = 0.20         # SD v1.4, 50-step 512px (estimate)
 A6000_REF_SDXL_IMGS_PER_SEC = 0.40    # SDXL-turbo, 4-step 1024px (estimate)

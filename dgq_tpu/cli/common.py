@@ -14,6 +14,12 @@ from typing import Optional
 
 import jax
 
+from dgq_tpu.utils.cache import enable_compilation_cache
+
+# every CLI entry point funnels through this module; repeat invocations of
+# the same model/config skip the multi-minute XLA compile
+enable_compilation_cache()
+
 
 def model_type_from_env(default: str = "sd") -> str:
     return os.environ.get("DIFFUSERS_REWRITE", default)

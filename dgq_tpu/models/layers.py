@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -761,6 +763,9 @@ def attention(
             sm_mode=sm_mode, sm_bits=cfg.softmax_bits, sm_delta=sm_delta,
             start_peak=start_peak and cfg.use_aq,
             interpret=jax.default_backend() == "cpu",
+            # A/B hook for the real_time kernel structure (fused | two_call);
+            # read at trace time, None -> the kernel's default
+            rt_impl=os.environ.get("DGQ_RT_IMPL") or None,
         )
         out = jnp.reshape(out, (b, num_heads, t, head_dim))
         out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)

@@ -13,11 +13,17 @@ probability is exactly 1/l_i, so the reference's `real_time` delta
     delta = max_i 1/l_i = 1 / min_i l_i
 — available from a stats-only pass that never materializes probabilities.
 
-Pipeline:
-  phase 1 (stats kernel): per-row (m_i, l_i); real_time delta = 1/min(l).
-  phase 2 (accumulate kernel): probs = exp(s - m_i)/l_i (exact final softmax),
-     quantize (log2 with delta, or uniform affine, or none), multiply by V.
+Pipeline (one pallas_call with a leading phase grid dimension — the TPU
+grid is sequential, so phase 0 finishes everywhere before phase 1 starts):
+  phase 0 (stats): per-row (m_i, l_i) into VMEM scratch; the global
+     real_time delta (1/min(l), or the max nonpeak prob under start_peak)
+     folds into SMEM scratch tile by tile.
+  phase 1 (accumulate): probs = exp(s - m_i)/l_i (exact final softmax),
+     quantize (log2 with delta from SMEM), multiply by V.
   start_peak: key position 0 is restored unquantized (sd.py:191-195).
+Static-delta modes (uniform / calibrated log2) have no cross-tile
+dependency and run stats+accumulate back-to-back per tile instead, with
+the score tile cached in VMEM so QK^T runs once.
 
 Unquantized attention uses the classic single-pass flash kernel.
 """
@@ -45,10 +51,10 @@ def _round_up(x, m):
 # -------------------------------------------------- shared loop bodies ------
 def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
                 scores_out_ref=None):
-    """Phase-1 loop: per-row running (max m, normalizer l) over key blocks.
+    """Stats loop: per-row running (max m, normalizer l) over key blocks.
 
-    Shared by the standalone stats kernel and the merged static-delta kernel
-    so masking/online-update fixes land in exactly one place.
+    Shared by the fused real_time kernel's phase 0 and the merged
+    static-delta kernel so masking/online-update fixes land in one place.
 
     track_nonpeak_max additionally carries m2 = per-row score max EXCLUDING
     key position 0: under start_peak the reference slices column 0 off
@@ -97,10 +103,10 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
 
 def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
                       block_s, sm_mode, sm_bits, start_peak,
-                      scores_in_ref=None):
-    """Phase-2 loop: probs = exp(s - m)/l (exact final softmax), quantize,
-    multiply V. Shared by the two-pass accumulate kernel and the merged
-    static-delta kernel.
+                      scores_in_ref=None, z_row=False):
+    """Accumulate loop: probs = exp(s - m)/l (exact final softmax), quantize,
+    multiply V. Shared by the fused real_time kernel's phase 1 and the
+    merged static-delta kernel.
 
     log2 mode is transcendental-free: -log2(p/delta) with p = exp(s-m)/l is
     LINEAR in the raw score,
@@ -130,15 +136,18 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
     level = 2 ** sm_bits
     needs_mask = s_valid < s_total
     inv_ln2 = 1.4426950408889634
-    # per-row affine constant: q_exp = round(a_row - s * inv_ln2)
-    a_row = jnp.log2(delta) + (m + jnp.log(l)) * inv_ln2  # (bt, 1)
+    # per-row affine constant: q_exp = round(a_row - s * inv_ln2).
+    # z_row: caller passes z = m + ln(l) pre-combined in `m` (l unused) —
+    # the only form the loop needs (m, l) in.
+    z = m if z_row else m + jnp.log(l)  # (bt, 1)
+    a_row = jnp.log2(delta) + z * inv_ln2  # (bt, 1)
     # (1,1) vectors, not scalars: Mosaic's tpu.bitcast only takes vectors
     d_bits = jax.lax.bitcast_convert_type(
         jnp.full((1, 1), delta, jnp.float32), jnp.int32)
     ub = jnp.minimum((d_bits >> 23) - 1, level - 1).astype(jnp.float32)
     magic = jnp.float32(1.5 * 2 ** 23)
     inv_delta = 1.0 / delta          # scalar (uniform mode)
-    a2_row = m + jnp.log(l)          # (bt, 1) row constant (uniform mode)
+    a2_row = z                       # (bt, 1) row constant (uniform/peak)
 
     def body(j, acc):
         if scores_in_ref is not None:
@@ -189,40 +198,6 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
 
     acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
     return jax.lax.fori_loop(0, n_blocks, body, acc0)
-
-
-# ------------------------------------------------------------- phase 1 ------
-def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
-    """Row max and normalizer over all key blocks (one grid cell = q tile)."""
-    # keep q bf16: the MXU runs bf16 at 4x f32 throughput
-    m, l = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
-                       block_s=block_s)
-    o_m_ref[0] = m
-    o_l_ref[0] = l
-
-
-def _stats_kernel_nonpeak(q_ref, k_ref, o_m_ref, o_l_ref, o_p2_ref, *,
-                          scale, s_valid, block_s):
-    """Stats kernel variant for start_peak real_time: also emits the per-row
-    largest NON-PEAK probability exp(m2 - m)/l (column 0 excluded), whose
-    global max is the reference's dynamic delta for the sliced tensor."""
-    m, l, m2 = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
-                           block_s=block_s, track_nonpeak_max=True)
-    o_m_ref[0] = m
-    o_l_ref[0] = l
-    o_p2_ref[0] = jnp.exp(m2 - m) / l
-
-
-# ------------------------------------------------------------- phase 2 ------
-def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
-                  scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
-    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
-    acc = _quant_accum_loop(
-        q_ref[0], k_ref, v_ref, m_ref[0], l_ref[0], delta_ref[0, 0],
-        scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
-        sm_bits=sm_bits, start_peak=start_peak,
-    )
-    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 # ------------------------------------------- merged static-delta quant ------
@@ -336,6 +311,106 @@ def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
     o_ref[0] = (delta * acc).astype(o_ref.dtype)
 
 
+# ---------------------------------- two-call log2 real_time (alternate) -----
+def _stats_kernel(q_ref, k_ref, o_m_ref, o_l_ref, *, scale, s_valid, block_s):
+    """Row max and normalizer over all key blocks (one grid cell = q tile)."""
+    # keep q bf16: the MXU runs bf16 at 4x f32 throughput
+    m, l = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
+                       block_s=block_s)
+    o_m_ref[0] = m
+    o_l_ref[0] = l
+
+
+def _stats_kernel_nonpeak(q_ref, k_ref, o_m_ref, o_l_ref, o_p2_ref, *,
+                          scale, s_valid, block_s):
+    """Stats kernel variant for start_peak real_time: also emits the per-row
+    largest NON-PEAK probability exp(m2 - m)/l (column 0 excluded), whose
+    global max is the reference's dynamic delta for the sliced tensor."""
+    m, l, m2 = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
+                           block_s=block_s, track_nonpeak_max=True)
+    o_m_ref[0] = m
+    o_l_ref[0] = l
+    o_p2_ref[0] = jnp.exp(m2 - m) / l
+
+
+def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
+                  scale, s_valid, block_s, sm_mode, sm_bits, start_peak):
+    """probs = exp(s - m)/l, quantize, multiply V; delta in SMEM."""
+    acc = _quant_accum_loop(
+        q_ref[0], k_ref, v_ref, m_ref[0], l_ref[0], delta_ref[0, 0],
+        scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
+        sm_bits=sm_bits, start_peak=start_peak,
+    )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+# ------------------------------------ fused two-phase log2 real_time --------
+def _rt_fused_kernel(q_ref, k_ref, v_ref, o_ref, ml_scr, red_smem, *,
+                     scale, s_valid, t_valid, block_s, sm_bits, start_peak,
+                     n_tiles):
+    """log2 real_time quantized attention in ONE pallas_call.
+
+    The dynamic delta is a GLOBAL reduction over every row's normalizer
+    (delta = 1/min(l), or max nonpeak-prob under start_peak), so the stats
+    and accumulate phases cannot share a score tile — but they CAN share a
+    kernel: the TPU grid is sequential, so a leading phase dimension runs
+    all stats cells before any accumulate cell. Per-row (m, l) persist
+    across grid steps in a VMEM scratch (stored as (1, bt) rows — Mosaic
+    handles the (bt,1)<->(1,bt) relayout), and the global reduction lives
+    in SMEM: phase 0 folds each tile's min(l)/max(p2) into it, phase 1
+    reads the finished delta. vs the two-pallas_call form (`_rt_two_call`,
+    selectable via rt_impl; scripts/bench_rt_ab.py A/Bs them in-model) this
+    drops one kernel dispatch, the (BH,T) m/l HBM round-trip, and the
+    XLA-level reduce+broadcast between the calls. The second QK^T (phase 1
+    re-computes scores rather than caching (T,S) floats) is semantic: the
+    delta is unknown until every row's stats are in.
+
+    Numerics are identical to the two-call form: the same `_stats_loop` /
+    `_quant_accum_loop` bodies run with the same delta (f32 min/max is
+    order-independent), and padded q-rows are harmless in the SMEM
+    reduction — a zero q row scores 0 on every valid key, so its l equals
+    s_valid, the maximum any row can attain (p2 rows ARE masked: a
+    peak-dominated tensor can push every real row's nonpeak max below the
+    padded rows' 1/s_valid).
+    """
+    ph = pl.program_id(0)
+    b = pl.program_id(1)
+    i = pl.program_id(2)
+    cell = b * n_tiles + i
+    bt = q_ref.shape[1]
+
+    @pl.when(ph == 0)
+    def _stats():
+        res = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
+                          block_s=block_s, track_nonpeak_max=start_peak)
+        m, l = res[0], res[1]
+        # phase 1 consumes (m, l) ONLY through z = m + ln(l) (both a_row and
+        # the start_peak column-0 exp), so one row per tile suffices
+        ml_scr[pl.ds(cell, 1), :] = jnp.reshape(m + jnp.log(l), (1, bt))
+
+        @pl.when(cell == 0)
+        def _init():
+            red_smem[0] = jnp.inf
+            red_smem[1] = 0.0
+
+        red_smem[0] = jnp.minimum(red_smem[0], jnp.min(l))
+        if start_peak:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
+            p2 = jnp.where(row < t_valid, jnp.exp(res[2] - m) / l, 0.0)
+            red_smem[1] = jnp.maximum(red_smem[1], jnp.max(p2))
+
+    @pl.when(ph == 1)
+    def _accum():
+        z = jnp.reshape(ml_scr[pl.ds(cell, 1), :], (bt, 1))
+        delta = red_smem[1] if start_peak else 1.0 / red_smem[0]
+        acc = _quant_accum_loop(
+            q_ref[0], k_ref, v_ref, z, None, delta,
+            scale=scale, s_valid=s_valid, block_s=block_s, sm_mode="log2",
+            sm_bits=sm_bits, start_peak=start_peak, z_row=True,
+        )
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+
 # ------------------------------------------------------- single-pass FP -----
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
     q = q_ref[0]
@@ -376,7 +451,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sm_mode", "sm_bits", "start_peak",
-                     "block_t", "block_s", "interpret"),
+                     "block_t", "block_s", "interpret", "rt_impl"),
 )
 def fused_attention(
     q: jax.Array,                  # (BH, T, D)
@@ -390,6 +465,7 @@ def fused_attention(
     block_t: Optional[int] = None,
     block_s: Optional[int] = None,
     interpret: bool = False,
+    rt_impl: Optional[str] = None,  # real_time structure: fused | two_call
 ) -> jax.Array:
     bh, t, d = q.shape
     s = k.shape[1]
@@ -532,8 +608,55 @@ def fused_attention(
         )(qp_s, kp, vp, delta_arr)
         return out[:, :t, :d]
 
-    # ---- log2_real_time: two passes (delta is a GLOBAL reduction) ----
+    # ---- log2_real_time: fused two-phase kernel (delta is a GLOBAL
+    # reduction, exchanged through SMEM scratch between the grid phases) ----
     assert sm_mode == "log2_real_time", f"unknown sm_mode {sm_mode!r}"
+    if rt_impl is None:
+        rt_impl = "fused"
+    if rt_impl == "two_call":
+        return _rt_two_call(qp, kp, vp, q.dtype, bh, t, tp, d, dp, sp, bt,
+                            common, sm_bits, start_peak, grid, interpret)
+    assert rt_impl == "fused", f"unknown rt_impl {rt_impl!r}"
+    n_tiles = tp // bt
+    out = pl.pallas_call(
+        functools.partial(
+            _rt_fused_kernel, **common, t_valid=t, sm_bits=sm_bits,
+            start_peak=start_peak, n_tiles=n_tiles,
+        ),
+        grid=(2, bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, bt, dp), lambda p, b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda p, b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            # V is only read in phase 1; parking phase 0 on block 0 saves
+            # one full fetch of V per batch-head
+            pl.BlockSpec((1, sp, dp), lambda p, b, i: (p * b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        # phase-0 cells never write the output; mapping them all onto block
+        # (0, 0) — which phase 1 then starts on — means no block index
+        # change until real data exists, so no garbage ever hits HBM
+        out_specs=pl.BlockSpec((1, bt, dp), lambda p, b, i: (p * b, p * i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh * n_tiles, bt), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tp * sp * dp,
+            bytes_accessed=2 * bh * (tp + 2 * sp) * dp,
+            transcendentals=2 * bh * tp * sp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :t, :d]
+
+
+def _rt_two_call(qp, kp, vp, out_dtype, bh, t, tp, d, dp, sp, bt, common,
+                 sm_bits, start_peak, grid, interpret):
+    """Alternate real_time structure: stats pallas_call -> XLA global
+    reduce -> accumulate pallas_call, with per-row (m, l) round-tripping
+    through HBM. Kept selectable (`rt_impl="two_call"`) as the measured
+    alternative to the fused kernel; see the A/B note in the module docs."""
     stats_fn = _stats_kernel_nonpeak if start_peak else _stats_kernel
     row_spec = pl.BlockSpec((1, bt, 1), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
@@ -578,7 +701,7 @@ def fused_attention(
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, bt, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tp * sp * dp,

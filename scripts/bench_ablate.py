@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dgq_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dgq_tpu.calib.act_calib import act_qpoint_names
 from dgq_tpu.calib.weight_calib import quantize_model_weights
 from dgq_tpu.models.qconfig import QConfig

@@ -10,6 +10,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dgq_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dgq_tpu.ops.pallas.attention import fused_attention
 
 SHAPES = [
@@ -45,8 +49,11 @@ def main():
             ("uniform+sp", {"sm_delta": delta, "start_peak": True}),
             ("log2_real_time", {}),
             ("log2_real_time+sp", {"start_peak": True}),
+            ("log2_real_time/2c", {"rt_impl": "two_call"}),
+            ("log2_real_time+sp/2c", {"start_peak": True,
+                                      "rt_impl": "two_call"}),
         ]:
-            m = mode.replace("+sp", "")
+            m = mode.replace("+sp", "").replace("/2c", "")
             bt = os.environ.get("BENCH_ATTN_BLOCK_T")
             if bt:
                 kw = dict(kw, block_t=int(bt))

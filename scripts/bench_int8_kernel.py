@@ -17,6 +17,10 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+from dgq_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dgq_tpu.ops.pallas.int8_matmul import pack_weight_int8, quantized_matmul
 from dgq_tpu.quant.affine import QParams, fake_quant
 

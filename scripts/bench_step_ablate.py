@@ -22,6 +22,10 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+from dgq_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from dgq_tpu.calib.weight_calib import quantize_model_weights
 from dgq_tpu.models.qconfig import QConfig
 from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec, unet_sd_apply

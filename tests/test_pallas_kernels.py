@@ -98,6 +98,24 @@ class TestFusedAttention:
         assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
             np.abs(np.asarray(out) - np.asarray(ref)).max()
 
+    @pytest.mark.parametrize("sp", [False, True])
+    def test_real_time_two_call_impl(self, sp):
+        """The alternate two-pallas_call real_time structure (rt_impl) stays
+        numerically identical to the oracle and the default fused kernel."""
+        t, s, d = 64, 77, 40
+        q = rand(2, t, d, seed=3, scale=0.5)
+        k = rand(2, s, d, seed=4, scale=0.5)
+        v = rand(2, s, d, seed=5)
+        scale = d ** -0.5
+        ref = attention_reference(q, k, v, scale, sm_mode="log2_real_time",
+                                  sm_bits=8, start_peak=sp)
+        out = fused_attention(q, k, v, scale, sm_mode="log2_real_time",
+                              sm_bits=8, start_peak=sp, block_t=32,
+                              block_s=128, interpret=True,
+                              rt_impl="two_call")
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+            np.abs(np.asarray(out) - np.asarray(ref)).max()
+
     def test_start_peak(self):
         t, s, d = 32, 77, 40
         q = rand(1, t, d, seed=6, scale=0.5)
@@ -195,3 +213,36 @@ class TestFusedAttention:
         # non-peak probabilities onto a grid two orders of magnitude coarser
         delta_all = jnp.max(p)
         assert float(delta_all) > 10 * float(jnp.max(p[..., 1:]))
+
+    def test_start_peak_padded_rows(self):
+        """Padded q rows in the last tile + start_peak + dominant column 0:
+        a zero (padded) row scores uniformly, so its largest NON-peak
+        probability is 1/s_valid — larger than every real row's when the
+        start token dominates. The fused kernel's SMEM max-p2 reduction must
+        mask padded rows or the real_time delta inflates to 1/77 here.
+        t=40 with block_t=32 forces 24 padded rows in the second tile."""
+        t, s, d = 40, 77, 40
+        scale = d ** -0.5
+        rng = np.random.RandomState(12)
+        # every real row: p0 ~= 0.7, the 76 nonpeak probs ~= 0.004 (+-30%) —
+        # all below 1/77 ~= 0.013, but big enough that a delta inflated to
+        # 1/77 shifts the log2 rounding grid visibly in the output
+        q = jnp.asarray((0.5 + 0.1 * np.abs(rng.randn(1, t, d))).astype(np.float32))
+        k = (rng.randn(s, d) * 0.05).astype(np.float32)
+        k[0, :] = 5.2 / (scale * 0.55 * d)  # q.k0*scale ~= 5.2 for every row
+        k = jnp.asarray(k[None])
+        v = jnp.asarray(rng.randn(1, s, d).astype(np.float32))
+
+        p = jax.nn.softmax(jnp.einsum("btd,bsd->bts", q, k) * scale, axis=-1)
+        # preconditions: every real row's nonpeak max is below a padded
+        # row's 1/s, yet large enough to matter in the output
+        assert float(jnp.max(p[..., 1:])) < 0.8 / s
+        assert float(jnp.max(p[..., 1:])) > 0.1 / s
+
+        ref = attention_reference(q, k, v, scale, sm_mode="log2_real_time",
+                                  start_peak=True)
+        out = fused_attention(q, k, v, scale, sm_mode="log2_real_time",
+                              start_peak=True, block_t=32, block_s=128,
+                              interpret=True)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3), \
+            np.abs(np.asarray(out) - np.asarray(ref)).max()
