@@ -279,8 +279,9 @@ def main():
     ap.add_argument("--fold", dest="fold", action="store_true", default=False,
                     help="ablation: enable the shifted-clip codes fold on "
                          "per-tensor layers (measured 2.5%% slower e2e on "
-                         "v5e: 0.871 vs 0.894 img/s — the scale epilogue "
-                         "breaks conv+bias fusion)")
+                         "v5e: 0.871 vs 0.894 img/s, in the round-3 headline "
+                         "config without the softmax quantizer — the scale "
+                         "epilogue breaks conv+bias fusion)")
     ap.add_argument("--no-fold", dest="fold", action="store_false",
                     help="(default) plain fused fake-quant deploy path")
     ap.add_argument("--headline-only", action="store_true",
