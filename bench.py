@@ -46,7 +46,8 @@ def bench_sdxl(args):
     import jax
     import jax.numpy as jnp
 
-    from dgq_tpu.calib.weight_calib import quantize_model_weights
+    from dgq_tpu.calib.weight_calib import (pack_attention_heads,
+                                            quantize_model_weights)
     from dgq_tpu.models.qconfig import QConfig
     from dgq_tpu.models.unet_sd import init_unet_sd
     from dgq_tpu.models.unet_sdxl import sdxl_unet_spec, unet_sdxl_apply
@@ -57,6 +58,7 @@ def bench_sdxl(args):
     dev = jax.devices()[0]
     spec = sdxl_unet_spec()
     use_group = args.group > 1
+    use_packed = not args.no_packed_attn and not args.no_pallas_attn and not args.int8
     cfg = QConfig(
         w_bits=args.wq, a_bits=args.aq, softmax_bits=args.aq,
         use_wq=True, use_aq=True,
@@ -66,6 +68,7 @@ def bench_sdxl(args):
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
         fold_act_dequant=args.fold,
+        packed_attention=use_packed,
     )
     if use_group:
         qstate_g, group_layers = _sd_group_qstate(spec, 0, False, dtype)
@@ -75,6 +78,9 @@ def bench_sdxl(args):
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
         params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+        if use_packed:
+            params_q = pack_attention_heads(params_q, spec,
+                                            num_heads=lambda o: o // 64)
         params_q = jax.tree.map(
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
             params_q, is_leaf=lambda x: x is None,
@@ -136,7 +142,8 @@ def bench_sd(args):
     import jax
     import jax.numpy as jnp
 
-    from dgq_tpu.calib.weight_calib import quantize_model_weights
+    from dgq_tpu.calib.weight_calib import (pack_attention_heads,
+                                            quantize_model_weights)
     from dgq_tpu.models.qconfig import QConfig
     from dgq_tpu.models.unet_sd import init_unet_sd, sd_unet_spec
     from dgq_tpu.pipeline.sampler import sd_sample
@@ -150,6 +157,7 @@ def bench_sd(args):
     spec = sd_unet_spec()
     group_num = args.group
     use_group = group_num > 1
+    use_packed = not args.no_packed_attn and not args.no_pallas_attn and not args.int8
     # g=1 policy disables the t2i softmax tricks (reference
     # scripts/quantize_act.sh:20-26); g>1 is the flagship DGQ config.
     # int8 MXU stays on in group mode for every layer with per-tensor scales
@@ -164,6 +172,7 @@ def bench_sd(args):
         use_int8_conv=args.int8_conv,
         int8_impl=args.int8_impl,
         fold_act_dequant=args.fold,
+        packed_attention=use_packed,
     )
     t_slots = args.steps
     time_aware = not args.no_time_aware
@@ -182,6 +191,8 @@ def bench_sd(args):
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_unet_sd(jax.random.PRNGKey(0), dtype=jnp.float32, spec=spec, fast=True)
         params_q, _ = quantize_model_weights(params, spec, cfg, Scaler.MINMAX)
+        if use_packed:
+            params_q = pack_attention_heads(params_q, spec, num_heads=8)
         params_q = jax.tree.map(
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
             params_q, is_leaf=lambda x: x is None,
@@ -276,6 +287,10 @@ def main():
                          "(the pallas call forfeits producer fusion)")
     ap.add_argument("--no-vae", action="store_true",
                     help="exclude VAE decode from the timed step")
+    ap.add_argument("--no-packed-attn", action="store_true",
+                    help="ablation: disable the packed head-slot attention "
+                         "layout (fold-time weight padding that removes the "
+                         "head transpose/pad/slice around the fused kernel)")
     ap.add_argument("--fold", dest="fold", action="store_true", default=False,
                     help="ablation: enable the shifted-clip codes fold on "
                          "per-tensor layers (measured 2.5%% slower e2e on "
@@ -306,6 +321,7 @@ def main():
         "group": args.group,
         "fold_act_dequant": args.fold,
         "pallas_attn": not args.no_pallas_attn,
+        "packed_attn": not args.no_packed_attn and not args.no_pallas_attn and not args.int8,
         "time_aware": not args.no_time_aware,
         "baseline_estimated": True,
     }

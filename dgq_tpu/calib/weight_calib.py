@@ -172,3 +172,61 @@ def attach_int8_packed(
                 codes.astype(np.int32).sum(axis=0).astype(np.float32))
         out[name] = p
     return out
+
+
+def pack_attention_heads(params, spec, num_heads=8, slot: int = 128):
+    """Repack attention projection weights into the head-slot layout.
+
+    Deploy-time transform (run AFTER quantize_model_weights/checkpoint
+    folding): every `to_q/to_k/to_v` weight (I, O) is viewed as
+    (I, H, head_dim) and zero-padded to (I, H, dp) with dp = the next
+    multiple of `slot` (128, the TPU lane width) — so each head occupies a
+    lane-aligned dp-wide block of the projection output and the fused
+    attention kernel can carve per-head tiles straight out of (B, T, H*dp)
+    with BlockSpec lane indices: no activation transpose/pad/slice. The
+    matching `to_out.0` weight gets zero ROWS so it consumes the padded
+    layout directly. Zero weight columns produce exact-zero activations
+    (and the per-tensor act quantizers map 0 -> 0 exactly: zp ranges inside
+    the clip bounds), so the packed forward is bit-identical to the unpacked
+    one.
+
+    num_heads: int (SD v1.4: 8 everywhere) or a callable(out_dim) -> int
+    (SDXL: out_dim // 64). Returns a new flat params dict sharing all
+    untouched leaves; layers whose head_dim is already slot-aligned are
+    still repacked only if padding is needed (no-op otherwise).
+    """
+    heads_of = num_heads if callable(num_heads) else (lambda o: num_heads)
+    new = dict(params)
+    for name, kind, meta in spec:
+        if kind != "linear":
+            continue
+        if name.endswith((".to_q", ".to_k", ".to_v")):
+            o_dim = meta[1]
+            h = heads_of(o_dim)
+            d = o_dim // h
+            pad = -d % slot
+            if pad == 0:
+                continue
+            p = dict(params[name])
+            w = p["w"]
+            w3 = jnp.reshape(w, (w.shape[0], h, d))
+            w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, pad)))
+            p["w"] = jnp.reshape(w3, (w.shape[0], h * (d + pad)))
+            if p.get("b") is not None:
+                b2 = jnp.pad(jnp.reshape(p["b"], (h, d)), ((0, 0), (0, pad)))
+                p["b"] = jnp.reshape(b2, (h * (d + pad),))
+            new[name] = p
+        elif name.endswith(".to_out.0"):
+            i_dim = meta[0]
+            h = heads_of(i_dim)
+            d = i_dim // h
+            pad = -d % slot
+            if pad == 0:
+                continue
+            p = dict(params[name])
+            w = p["w"]
+            w3 = jnp.reshape(w, (h, d, w.shape[1]))
+            w3 = jnp.pad(w3, ((0, 0), (0, pad), (0, 0)))
+            p["w"] = jnp.reshape(w3, (h * (d + pad), w.shape[1]))
+            new[name] = p
+    return new

@@ -637,21 +637,56 @@ def quant_linear(
 
 
 def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
-    """GroupNorm over NHWC (channel-last). Statistics in f32 (bf16-safe)."""
+    """GroupNorm over NHWC (channel-last). Statistics in f32 (bf16-safe).
+
+    Layout-aware: the naive form (reshape to (B, HW, G, C/G), mean/var over
+    (1, 3)) reduces over a C/G = 10..40-wide MINOR axis, which the VPU runs
+    at a fraction of bandwidth — profiled at 17 ms/forward across the UNet's
+    norms, ~17x off the memory bound. Instead:
+      1. one pass of per-CHANNEL sum and sum-of-squares over (H, W) — the
+         channel-minor axis stays intact, so the reduction is bandwidth-bound
+         (XLA fuses both into a single read of x);
+      2. group aggregation on the tiny (B, C) partials;
+      3. one elementwise pass out = x*A + B with per-(B,C) A/B folding the
+         normalize and the affine — emitted in the INPUT dtype, so XLA can
+         fuse it into the consumer (SiLU -> conv) instead of materializing
+         an f32 tensor.
+    Variance uses the one-pass E[x^2] - E[x]^2 form in f32: relative error
+    ~1e-7 * (1 + mean^2/var), negligible against the <5e-3 full-width parity
+    bound for any activation distribution the UNet produces.
+    """
     b, h, w, c = x.shape
-    xg = jnp.reshape(x, (b, h * w, groups, c // groups)).astype(jnp.float32)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = jnp.reshape(xg, (b, h, w, c)) * p["scale"] + p["bias"]
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))       # (B, C), same-pass ...
+    s2 = jnp.sum(xf * xf, axis=(1, 2))  # ... multi-output fusion
+    g1 = jnp.sum(jnp.reshape(s1, (b, groups, cg)), axis=2)  # (B, G)
+    g2 = jnp.sum(jnp.reshape(s2, (b, groups, cg)), axis=2)
+    n = h * w * cg
+    mean = g1 / n
+    var = g2 / n - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.reshape(jnp.broadcast_to(mean[:, :, None], (b, groups, cg)), (b, c))
+    rstd_c = jnp.reshape(jnp.broadcast_to(rstd[:, :, None], (b, groups, cg)), (b, c))
+    a = rstd_c * p["scale"][None, :].astype(jnp.float32)
+    bb = p["bias"][None, :].astype(jnp.float32) - mean_c * a
+    out = xf * a[:, None, None, :] + bb[:, None, None, :]
     return out.astype(x.dtype)
 
 
 def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the minor axis, one-pass stats (see group_norm: the
+    fused sum/sum-of-squares read + a single x*A+B elementwise emission in
+    the input dtype keeps this at memory speed)."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    s1 = jnp.sum(xf, axis=-1, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    a = rstd * p["scale"].astype(jnp.float32)
+    out = xf * a + (p["bias"].astype(jnp.float32) - mean * a)
     return out.astype(x.dtype)
 
 
@@ -681,6 +716,84 @@ def geglu_ff(p, prefix: str, x: jax.Array, qstate, cfg) -> jax.Array:
     return quant_linear(p[f"{prefix}.net.2"], h, f"{prefix}.net.2", qstate, cfg)
 
 
+def _sm_select(qstate, cfg: QConfig, prefix: str):
+    """Softmax-quant mode + static delta for the fused attention kernel."""
+    if cfg.use_aq and cfg.t2i_log_quant:
+        sm_mode = "log2_real_time" if cfg.t2i_real_time else "log2"
+        sm_delta = (
+            jnp.ones(()) if cfg.log_max_1
+            else (qstate or {}).get("sm", {}).get(f"{prefix}.aqtizer_w")
+        )
+        if sm_mode == "log2" and sm_delta is None:
+            sm_mode = "none"
+        return sm_mode, sm_delta
+    if cfg.use_aq and (qstate or {}).get("a", {}).get(f"{prefix}.aqtizer_w") is not None:
+        # the kernel quantizes with implicit zero_point=0, which is exact
+        # for aqtizer_w: the reference constructs it always_zero
+        # (quant_block.py:145-156 -> quant_layer.py:37, zp pinned to 0),
+        # and softmax_q_apply passes always_zero=True for the same point
+        return "uniform", qstate["a"][f"{prefix}.aqtizer_w"].delta
+    return "none", None
+
+
+def _unpack_heads(x: jax.Array, num_heads: int, head_dim: int) -> jax.Array:
+    """(B, T, H*dp) packed head-slot tensor -> (B, T, H*head_dim) reference
+    layout (drop the zero padding lanes)."""
+    b, t, cp = x.shape
+    dp = cp // num_heads
+    x4 = jnp.reshape(x, (b, t, num_heads, dp))[..., :head_dim]
+    return jnp.reshape(x4, (b, t, num_heads * head_dim))
+
+
+def _repack_heads(x: jax.Array, num_heads: int, dp: int) -> jax.Array:
+    """(B, T, H*head_dim) -> (B, T, H*dp) zero-padded head slots (for the
+    packed to_out.0 weight when a non-packed attention path produced x)."""
+    b, t, c = x.shape
+    d = c // num_heads
+    x4 = jnp.pad(jnp.reshape(x, (b, t, num_heads, d)),
+                 ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    return jnp.reshape(x4, (b, t, num_heads * dp))
+
+
+def _attn_out(p, prefix, out, qstate, cfg, num_heads):
+    """Final projection; re-pads head slots when to_out.0 carries packed
+    rows but `out` is in the reference layout."""
+    w_rows = p[f"{prefix}.to_out.0"]["w"].shape[0]
+    if w_rows != out.shape[-1]:
+        out = _repack_heads(out, num_heads, w_rows // num_heads)
+    return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0",
+                        qstate, cfg)
+
+
+def _attention_packed(p, prefix, q, k, v, num_heads, scale, s, qstate, cfg,
+                      start_peak, dtype):
+    """Packed head-slot attention: q/k/v stay (B, T/S, H*dp) end to end;
+    the fused kernel carves per-head lane slots via BlockSpecs. Per-tensor
+    quantizers apply identically in this layout (0 -> 0 on padding lanes)."""
+    from dgq_tpu.ops.pallas.attention import fused_attention
+
+    q = aq_apply(qstate, cfg, f"{prefix}.aqtizer_q", q)
+    if start_peak:
+        # key position 0 (sequence row 0) is spared, as in the reference
+        k = jnp.concatenate(
+            [k[:, 0:1, :],
+             aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k[:, 1:, :])],
+            axis=1)
+    else:
+        k = aq_apply(qstate, cfg, f"{prefix}.aqtizer_k", k)
+    v = aq_apply(qstate, cfg, f"{prefix}.aqtizer_v", v)
+    sm_mode, sm_delta = _sm_select(qstate, cfg, prefix)
+    out = fused_attention(
+        q, k, v, scale,
+        sm_mode=sm_mode, sm_bits=cfg.softmax_bits, sm_delta=sm_delta,
+        start_peak=start_peak and cfg.use_aq,
+        interpret=jax.default_backend() == "cpu",
+        num_heads=num_heads,
+    ).astype(dtype)
+    return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0",
+                        qstate, cfg)
+
+
 def attention(
     p,
     prefix: str,
@@ -707,6 +820,23 @@ def attention(
     v = quant_linear(p[f"{prefix}.to_v"], kv_in, f"{prefix}.to_v", qstate, cfg)
 
     s = kv_in.shape[1]
+
+    from dgq_tpu.models.qconfig import taps_active
+
+    if cfg.packed_attention:
+        dp = q.shape[-1] // num_heads
+        if (cfg.use_pallas_attention and not taps_active()
+                and dp * num_heads == q.shape[-1] and dp % 128 == 0):
+            return _attention_packed(
+                p, prefix, q, k, v, num_heads, scale, s, qstate, cfg,
+                start_peak, x.dtype)
+        if q.shape[-1] != c:
+            # packed weights but a path that needs the reference layout
+            # (taps during calibration / XLA attention): slice the padding
+            # lanes back out, and re-pad the output for the packed to_out
+            q = _unpack_heads(q, num_heads, head_dim)
+            k = _unpack_heads(k, num_heads, head_dim)
+            v = _unpack_heads(v, num_heads, head_dim)
     q = jnp.transpose(jnp.reshape(q, (b, t, num_heads, head_dim)), (0, 2, 1, 3))
     k = jnp.transpose(jnp.reshape(k, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
     v = jnp.transpose(jnp.reshape(v, (b, s, num_heads, head_dim)), (0, 2, 1, 3))
@@ -738,23 +868,7 @@ def attention(
             attn_f = jax.nn.softmax(sc.astype(jnp.float32), axis=-1)
             _tap(f"{prefix}.aqtizer_w",
                  attn_f[..., 1:] if start_peak else attn_f)
-        if cfg.use_aq and cfg.t2i_log_quant:
-            sm_mode = "log2_real_time" if cfg.t2i_real_time else "log2"
-            sm_delta = (
-                jnp.ones(()) if cfg.log_max_1
-                else (qstate or {}).get("sm", {}).get(f"{prefix}.aqtizer_w")
-            )
-            if sm_mode == "log2" and sm_delta is None:
-                sm_mode = "none"
-        elif cfg.use_aq and (qstate or {}).get("a", {}).get(f"{prefix}.aqtizer_w") is not None:
-            sm_mode = "uniform"
-            # the kernel quantizes with implicit zero_point=0, which is
-            # exact for aqtizer_w: the reference constructs it always_zero
-            # (quant_block.py:145-156 -> quant_layer.py:37, zp pinned to 0),
-            # and softmax_q_apply passes always_zero=True for the same point
-            sm_delta = qstate["a"][f"{prefix}.aqtizer_w"].delta
-        else:
-            sm_mode, sm_delta = "none", None
+        sm_mode, sm_delta = _sm_select(qstate, cfg, prefix)
         out = fused_attention(
             jnp.reshape(q, (b * num_heads, t, head_dim)),
             jnp.reshape(k, (b * num_heads, s, head_dim)),
@@ -769,7 +883,7 @@ def attention(
         )
         out = jnp.reshape(out, (b, num_heads, t, head_dim))
         out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)
-        return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0", qstate, cfg)
+        return _attn_out(p, prefix, out, qstate, cfg, num_heads)
 
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
@@ -787,7 +901,7 @@ def attention(
     attn = attn.astype(v.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=jnp.float32)
     out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (b, t, c)).astype(x.dtype)
-    return quant_linear(p[f"{prefix}.to_out.0"], out, f"{prefix}.to_out.0", qstate, cfg)
+    return _attn_out(p, prefix, out, qstate, cfg, num_heads)
 
 
 def basic_transformer_block(

@@ -132,6 +132,16 @@ class QConfig:
     # there the dequantize being folded is 9x input-sized (per-tap), and the
     # same fold measures 1.45 vs 1.98 ms/conv in its favor.
     fold_act_dequant: bool = False
+    # deploy path: attention projections carry packed head-slot weights
+    # (calib.weight_calib.pack_attention_heads): each head's columns live in
+    # a 128-multiple lane slot, zero-padded past the true head_dim. The
+    # attention forward then skips the (B,T,H,D)->(B,H,T,D) transpose, the
+    # kernel's jnp.pad, and the output slice — the fused kernel reads the
+    # projection outputs directly via lane-offset BlockSpecs (profiled ~10 ms
+    # of pure data movement per SD 512px forward). Bit-identical numerics:
+    # padding lanes are exact zeros end to end. Requires use_pallas_attention;
+    # ignored (with a runtime fallback slice) wherever taps are active.
+    packed_attention: bool = False
 
     def replace(self, **kw) -> "QConfig":
         return dataclasses.replace(self, **kw)

@@ -451,12 +451,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sm_mode", "sm_bits", "start_peak",
-                     "block_t", "block_s", "interpret", "rt_impl"),
+                     "block_t", "block_s", "interpret", "rt_impl",
+                     "num_heads"),
 )
 def fused_attention(
-    q: jax.Array,                  # (BH, T, D)
-    k: jax.Array,                  # (BH, S, D)
-    v: jax.Array,                  # (BH, S, D)
+    q: jax.Array,                  # (BH, T, D), or (B, T, H*dp) packed
+    k: jax.Array,                  # (BH, S, D), or (B, S, H*dp) packed
+    v: jax.Array,                  # (BH, S, D), or (B, S, H*dp) packed
     scale: float,
     sm_mode: str = "none",         # none | log2 | log2_real_time | uniform
     sm_bits: int = 8,
@@ -466,7 +467,26 @@ def fused_attention(
     block_s: Optional[int] = None,
     interpret: bool = False,
     rt_impl: Optional[str] = None,  # real_time structure: fused | two_call
+    num_heads: Optional[int] = None,  # packed head-slot layout (see below)
 ) -> jax.Array:
+    """num_heads=None: the classic (BH, T, D) per-head layout — inputs are
+    transposed/padded here, output sliced back.
+
+    num_heads=H: PACKED head-slot layout. q/k/v are (B, T, H*dp) with each
+    head occupying a dp-wide lane slot (dp a multiple of 128, zero-padded
+    beyond the true head_dim at WEIGHT-FOLD time — see
+    calib.weight_calib.pack_attention_heads). The grid splits heads via the
+    BlockSpec lane index, so the kernel reads projection outputs DIRECTLY:
+    no (B,T,H,D)->(B,H,T,D) transpose, no jnp.pad of activations, no output
+    slice — profiled at ~10 ms/forward of pure data movement at SD 512px.
+    Numerics are bit-identical to the unpacked path: the padding lanes are
+    exact zeros through the folded projections (and quantizers map 0 -> 0),
+    so every QK^T contraction and PV lane is unchanged.
+    """
+    if num_heads is not None:
+        return _fused_attention_packed(
+            q, k, v, scale, num_heads, sm_mode, sm_bits, sm_delta,
+            start_peak, block_t, block_s, interpret, rt_impl)
     bh, t, d = q.shape
     s = k.shape[1]
     if block_s is None:
@@ -710,6 +730,140 @@ def _rt_two_call(qp, kp, vp, out_dtype, bh, t, tp, d, dp, sp, bt, common,
         ),
     )(qp, kp, vp, m, l, delta_arr)
     return out[:, :t, :d]
+
+
+def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
+                            sm_delta, start_peak, block_t, block_s,
+                            interpret, rt_impl):
+    """Packed head-slot dispatch: arrays stay (B, T/S, H*dp); the BlockSpec
+    lane index carves per-head dp-wide slots, so no activation transpose/pad
+    ever materializes. Kernel bodies are the same as the unpacked path."""
+    h_n = num_heads
+    b, t, qc = q.shape
+    s = k.shape[1]
+    dp = qc // h_n
+    bh = b * h_n
+    if block_s is None:
+        if sm_mode == "uniform" and not start_peak:
+            block_s = 4096
+        elif sm_mode in ("log2", "uniform"):
+            block_s = 2048
+        elif sm_mode == "log2_real_time":
+            block_s = 4096
+        else:
+            block_s = 1024
+    bs = min(block_s, _round_up(s, 128))
+    sp = _round_up(s, bs)
+    if sp != s:
+        # rows only (cross-attention S=77 -> 128); lanes are pre-padded in
+        # the folded weights
+        k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0)))
+    if block_t is None:
+        block_t = 512
+        while (block_t < t and block_t < 2048
+               and block_t * 2 * bs * 4 <= 2 * 1024 * 1024):
+            block_t *= 2
+    bt = min(block_t, t)
+    while t % bt:
+        bt //= 2
+    n_tiles = t // bt
+    common = dict(scale=scale, s_valid=s, block_s=bs)
+    out_shape = jax.ShapeDtypeStruct((b, t, h_n * dp), q.dtype)
+
+    def q_spec(bt_):
+        return pl.BlockSpec((1, bt_, dp), lambda j, i: (j // h_n, i, j % h_n),
+                            memory_space=pltpu.VMEM)
+
+    kv_spec = pl.BlockSpec((1, sp, dp), lambda j, i: (j // h_n, 0, j % h_n),
+                           memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * bh * t * sp * dp,
+        bytes_accessed=2 * bh * (t + 2 * sp) * dp,
+        transcendentals=2 * bh * t * sp,
+    )
+
+    if sm_mode == "none":
+        return pl.pallas_call(
+            functools.partial(_flash_kernel, **common),
+            grid=(bh, n_tiles),
+            in_specs=[q_spec(bt), kv_spec, kv_spec],
+            out_specs=q_spec(bt),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(q, k, v)
+
+    if sm_mode in ("log2", "uniform"):
+        assert sm_delta is not None, "static softmax quant needs sm_delta"
+        bt_s = bt
+        while bt_s > 128 and bt_s * sp * 4 > _STATIC_SCRATCH_BUDGET:
+            bt_s //= 2
+        while t % bt_s:
+            bt_s //= 2
+        grid_s = (bh, t // bt_s)
+        delta_arr = jnp.reshape(sm_delta, (1, 1)).astype(jnp.float32)
+        delta_spec = pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        if sm_mode == "uniform" and not start_peak:
+            return pl.pallas_call(
+                functools.partial(
+                    _static_uniform_kernel, **common, sm_bits=sm_bits),
+                grid=grid_s,
+                in_specs=[q_spec(bt_s), kv_spec, kv_spec, delta_spec],
+                out_specs=q_spec(bt_s),
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((bt_s, sp), jnp.float32),
+                    pltpu.VMEM((bt_s, (sp // bs) * 128), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=32 * 1024 * 1024),
+                interpret=interpret,
+                cost_estimate=cost,
+            )(q, k, v, delta_arr)
+        return pl.pallas_call(
+            functools.partial(
+                _static_quant_kernel, **common, sm_mode=sm_mode,
+                sm_bits=sm_bits, start_peak=start_peak),
+            grid=grid_s,
+            in_specs=[q_spec(bt_s), kv_spec, kv_spec, delta_spec],
+            out_specs=q_spec(bt_s),
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((bt_s, sp), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(q, k, v, delta_arr)
+
+    assert sm_mode == "log2_real_time", f"unknown sm_mode {sm_mode!r}"
+    # the fused two-phase kernel is the only packed real_time structure
+    # (the two_call alternate exists for A/B on the unpacked path only)
+    rt_q = pl.BlockSpec((1, bt, dp), lambda p, j, i: (j // h_n, i, j % h_n),
+                        memory_space=pltpu.VMEM)
+    rt_k = pl.BlockSpec((1, sp, dp), lambda p, j, i: (j // h_n, 0, j % h_n),
+                        memory_space=pltpu.VMEM)
+    # V is only read in phase 1; park phase 0 on head-slot 0 of batch 0
+    rt_v = pl.BlockSpec((1, sp, dp),
+                        lambda p, j, i: (p * (j // h_n), 0, p * (j % h_n)),
+                        memory_space=pltpu.VMEM)
+    rt_o = pl.BlockSpec((1, bt, dp),
+                        lambda p, j, i: (p * (j // h_n), p * i, p * (j % h_n)),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _rt_fused_kernel, **common, t_valid=t, sm_bits=sm_bits,
+            start_peak=start_peak, n_tiles=n_tiles),
+        grid=(2, bh, n_tiles),
+        in_specs=[rt_q, rt_k, rt_v],
+        out_specs=rt_o,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bh * n_tiles, bt), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=cost,
+    )(q, k, v)
 
 
 def attention_reference(q, k, v, scale, sm_mode="none", sm_bits=8,

@@ -69,6 +69,12 @@ def main():
 
     qstate = synthetic_pertensor_qstate(spec, 0, False, dtype)
 
+    from dgq_tpu.calib.weight_calib import pack_attention_heads
+
+    # packed variant of the same folded weights (tiny one-time pads on-device)
+    params_pk = pack_attention_heads(params_q, spec, num_heads=8)
+    jax.block_until_ready(params_pk)
+
     if "--group" in sys.argv:
         # g=8 flagship decomposition: isolate the group-conv taps cost from
         # the t2i softmax-trick cost at the same build
@@ -79,18 +85,21 @@ def main():
                    t2i_start_peak=True, use_pallas_attention=True)
         configs = [
             ("g8 deploy (taps+t2i)",
-             cfgq.replace(group_conv_layers=g_layers, **t2i), g_qstate),
+             cfgq.replace(group_conv_layers=g_layers, **t2i), g_qstate, False),
+            ("g8 deploy PACKED",
+             cfgq.replace(group_conv_layers=g_layers, packed_attention=True,
+                          **t2i), g_qstate, True),
             ("g8 convs, uniform sm",
              cfgq.replace(group_conv_layers=g_layers,
-                          use_pallas_attention=True), g_qstate),
-            ("t2i, per-tensor convs", cfgq.replace(**t2i), qstate),
+                          use_pallas_attention=True), g_qstate, False),
+            ("t2i, per-tensor convs", cfgq.replace(**t2i), qstate, False),
             ("g1 deploy (uniform sm)",
-             cfgq.replace(use_pallas_attention=True), qstate),
+             cfgq.replace(use_pallas_attention=True), qstate, False),
         ]
-        for label, cfg, qs in configs:
+        for label, cfg, qs, pk in configs:
             fn = jax.jit(lambda p, xx, tt, ee, q, c=cfg: unet_sd_apply(
                 p, xx, tt, ee, qstate=q, cfg=c))
-            dt = timeit(fn, (params_q, x, t, ehs, qs))
+            dt = timeit(fn, (params_pk if pk else params_q, x, t, ehs, qs))
             print(f"{label:26s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
         return
 
@@ -103,11 +112,20 @@ def main():
         ("deploy (pallas attn)",
          cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
                       t2i_start_peak=True, use_pallas_attention=True), qstate),
+        ("deploy PACKED",
+         cfgq.replace(t2i_log_quant=True, t2i_real_time=True,
+                      t2i_start_peak=True, use_pallas_attention=True,
+                      packed_attention=True), qstate),
         ("pallas attn, no aq", QConfig(use_pallas_attention=True), None),
+        ("pallas attn PACKED, no aq",
+         QConfig(use_pallas_attention=True, packed_attention=True), None),
         # the g=1 headline policy: t2i tricks OFF, softmax quant is the
         # static-delta uniform quantizer -> merged single-kernel attention
         ("g1 deploy (pallas, uniform sm)",
          cfgq.replace(use_pallas_attention=True), qstate),
+        ("g1 deploy PACKED",
+         cfgq.replace(use_pallas_attention=True, packed_attention=True),
+         qstate),
         # deploy but with the attention-input quantizers (aqtizer_q/k/v)
         # removed — sizes the cost of quantizing q/k/v OUTSIDE the kernel
         ("deploy, no qkv aq",
@@ -125,7 +143,8 @@ def main():
     for label, cfg, qs in configs:
         fn = jax.jit(lambda p, xx, tt, ee, q, c=cfg: unet_sd_apply(
             p, xx, tt, ee, qstate=q, cfg=c))
-        dt = timeit(fn, (params_q, x, t, ehs, qs))
+        pp = params_pk if cfg.packed_attention else params_q
+        dt = timeit(fn, (pp, x, t, ehs, qs))
         print(f"{label:26s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
 
 
