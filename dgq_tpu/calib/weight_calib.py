@@ -174,21 +174,37 @@ def attach_int8_packed(
     return out
 
 
-def pack_attention_heads(params, spec, num_heads=8, slot: int = 128):
+def _head_slot_width(d: int, h: int, slot: int) -> int:
+    """Per-head packed slot width. slot=64 prefers the PAIR layout — two
+    64-wide head slots per 128-lane kernel block — whenever the head fits in
+    64 lanes and the head count is even (the kernel processes slot pairs);
+    otherwise (and always at slot=128) heads pad to a 128-multiple so each
+    occupies its own lane-aligned block."""
+    if slot == 64 and d <= 64 and h % 2 == 0:
+        return 64
+    return -(-d // 128) * 128
+
+
+def pack_attention_heads(params, spec, num_heads=8, slot: int = 64):
     """Repack attention projection weights into the head-slot layout.
 
     Deploy-time transform (run AFTER quantize_model_weights/checkpoint
     folding): every `to_q/to_k/to_v` weight (I, O) is viewed as
-    (I, H, head_dim) and zero-padded to (I, H, dp) with dp = the next
-    multiple of `slot` (128, the TPU lane width) — so each head occupies a
-    lane-aligned dp-wide block of the projection output and the fused
-    attention kernel can carve per-head tiles straight out of (B, T, H*dp)
-    with BlockSpec lane indices: no activation transpose/pad/slice. The
-    matching `to_out.0` weight gets zero ROWS so it consumes the padded
-    layout directly. Zero weight columns produce exact-zero activations
-    (and the per-tensor act quantizers map 0 -> 0 exactly: zp ranges inside
-    the clip bounds), so the packed forward is bit-identical to the unpacked
-    one.
+    (I, H, head_dim) and zero-padded to (I, H, dp) with dp the packed slot
+    width (`_head_slot_width`) — so each head occupies a lane-addressable
+    dp-wide block of the projection output and the fused attention kernel
+    can carve per-head tiles straight out of (B, T, H*dp) with BlockSpec
+    lane indices: no activation transpose/pad/slice. The matching
+    `to_out.0` weight gets zero ROWS so it consumes the padded layout
+    directly. Zero weight columns produce exact-zero activations (and the
+    per-tensor act quantizers map 0 -> 0 exactly: zp ranges inside the clip
+    bounds), so the packed forward is bit-identical to the unpacked one.
+
+    slot=64 (default): SD's 40-wide heads pad to 64 and ride the kernel's
+    pair mode (two heads per 128-lane block) — half the lane waste of
+    slot=128 on both the projection widths and the attention contractions;
+    SDXL's 64-wide heads need no padding at all. slot=128 keeps the
+    one-head-per-block layout.
 
     num_heads: int (SD v1.4: 8 everywhere) or a callable(out_dim) -> int
     (SDXL: out_dim // 64). Returns a new flat params dict sharing all
@@ -204,7 +220,7 @@ def pack_attention_heads(params, spec, num_heads=8, slot: int = 128):
             o_dim = meta[1]
             h = heads_of(o_dim)
             d = o_dim // h
-            pad = -d % slot
+            pad = _head_slot_width(d, h, slot) - d
             if pad == 0:
                 continue
             p = dict(params[name])
@@ -220,7 +236,7 @@ def pack_attention_heads(params, spec, num_heads=8, slot: int = 128):
             i_dim = meta[0]
             h = heads_of(i_dim)
             d = i_dim // h
-            pad = -d % slot
+            pad = _head_slot_width(d, h, slot) - d
             if pad == 0:
                 continue
             p = dict(params[name])

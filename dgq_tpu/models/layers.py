@@ -825,8 +825,13 @@ def attention(
 
     if cfg.packed_attention:
         dp = q.shape[-1] // num_heads
+        # dp % 128 == 0: one head per lane-aligned slot. dp == 64 with an
+        # even head count: the PAIR-packed layout (two 64-wide slots per
+        # 128-lane block) — covers slot-64-packed weights AND models whose
+        # native head_dim is already 64 (SDXL) with no weight packing at all.
         if (cfg.use_pallas_attention and not taps_active()
-                and dp * num_heads == q.shape[-1] and dp % 128 == 0):
+                and dp * num_heads == q.shape[-1]
+                and (dp % 128 == 0 or (dp == 64 and num_heads % 2 == 0))):
             return _attention_packed(
                 p, prefix, q, k, v, num_heads, scale, s, qstate, cfg,
                 start_peak, x.dtype)

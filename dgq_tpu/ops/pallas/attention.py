@@ -50,7 +50,7 @@ def _round_up(x, m):
 
 # -------------------------------------------------- shared loop bodies ------
 def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
-                scores_out_ref=None):
+                scores_out_ref=None, d_slice=None):
     """Stats loop: per-row running (max m, normalizer l) over key blocks.
 
     Shared by the fused real_time kernel's phase 0 and the merged
@@ -66,6 +66,10 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
     scores_out_ref: optional (bt, S) f32 VMEM scratch; the masked score
     blocks are written there so the accumulate loop of the same grid cell
     can skip recomputing QKᵀ (halves the merged kernel's MXU work).
+
+    d_slice: optional (lo, hi) lane slice applied to each K block — the
+    pair-packed layout stores TWO 64-wide head slots per 128-lane block, and
+    the caller runs this loop once per slot with q already sliced.
     """
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
@@ -76,6 +80,8 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
     def body(j, carry):
         m, l, m2 = carry
         k = k_ref[0, pl.ds(j * block_s, block_s), :]
+        if d_slice is not None:
+            k = k[:, d_slice[0]:d_slice[1]]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -103,7 +109,7 @@ def _stats_loop(q, k_ref, *, scale, s_valid, block_s, track_nonpeak_max=False,
 
 def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
                       block_s, sm_mode, sm_bits, start_peak,
-                      scores_in_ref=None, z_row=False):
+                      scores_in_ref=None, z_row=False, d_slice=None):
     """Accumulate loop: probs = exp(s - m)/l (exact final softmax), quantize,
     multiply V. Shared by the fused real_time kernel's phase 1 and the
     merged static-delta kernel.
@@ -156,6 +162,8 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
             s = scores_in_ref[:, pl.ds(j * block_s, block_s)]
         else:
             k = k_ref[0, pl.ds(j * block_s, block_s), :]
+            if d_slice is not None:
+                k = k[:, d_slice[0]:d_slice[1]]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -191,19 +199,22 @@ def _quant_accum_loop(q, k_ref, v_ref, m, l, delta, *, scale, s_valid,
         if needs_mask:
             pq = jnp.where(col < s_valid, pq, 0.0)
         v = v_ref[0, pl.ds(j * block_s, block_s), :]
+        if d_slice is not None:
+            v = v[:, d_slice[0]:d_slice[1]]
         return acc + jax.lax.dot_general(
             pq.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    acc0 = jnp.zeros((q.shape[0], v_ref.shape[2]), jnp.float32)
+    d_out = v_ref.shape[2] if d_slice is None else d_slice[1] - d_slice[0]
+    acc0 = jnp.zeros((q.shape[0], d_out), jnp.float32)
     return jax.lax.fori_loop(0, n_blocks, body, acc0)
 
 
 # ------------------------------------------- merged static-delta quant ------
 def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, scores_ref,
                          *, scale, s_valid, block_s, sm_mode, sm_bits,
-                         start_peak):
+                         start_peak, sub_heads=1):
     """Stats + quantized accumulation in ONE program (static-delta modes).
 
     The two-pass split exists because `log2_real_time` needs a GLOBAL
@@ -218,22 +229,33 @@ def _static_quant_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref, scores_ref,
     the quantized kernel's MXU work equals the unquantized flash kernel's
     (the caller sizes block_t to keep the scratch within VMEM). Numerics
     are identical to the two-pass form (same shared loop bodies).
+
+    sub_heads=2 (pair-packed): each head's stats+accumulate completes before
+    the next starts, so the ONE scores scratch is reused — no extra VMEM.
     """
-    q = q_ref[0]
-    m, l = _stats_loop(q, k_ref, scale=scale, s_valid=s_valid,
-                       block_s=block_s, scores_out_ref=scores_ref)
-    acc = _quant_accum_loop(
-        q, k_ref, v_ref, m, l, delta_ref[0, 0],
-        scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
-        sm_bits=sm_bits, start_peak=start_peak, scores_in_ref=scores_ref,
-    )
-    o_ref[0] = acc.astype(o_ref.dtype)
+    dp = q_ref.shape[2]
+    ds = dp // sub_heads
+    outs = []
+    for u in range(sub_heads):
+        sl = None if sub_heads == 1 else (u * ds, (u + 1) * ds)
+        q = q_ref[0] if sl is None else q_ref[0][:, sl[0]:sl[1]]
+        m, l = _stats_loop(q, k_ref, scale=scale, s_valid=s_valid,
+                           block_s=block_s, scores_out_ref=scores_ref,
+                           d_slice=sl)
+        acc = _quant_accum_loop(
+            q, k_ref, v_ref, m, l, delta_ref[0, 0],
+            scale=scale, s_valid=s_valid, block_s=block_s, sm_mode=sm_mode,
+            sm_bits=sm_bits, start_peak=start_peak, scores_in_ref=scores_ref,
+            d_slice=sl,
+        )
+        outs.append(acc.astype(o_ref.dtype))
+    o_ref[0] = outs[0] if sub_heads == 1 else jnp.concatenate(outs, axis=1)
 
 
 # ------------------------------------- fast static-uniform (g=1 policy) -----
 def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
                            p_scratch, mrec_scratch, *,
-                           scale, s_valid, block_s, sm_bits):
+                           scale, s_valid, block_s, sm_bits, sub_heads=1):
     """Uniform softmax quantization (the reference's g=1 policy) at
     unquantized-flash cost plus ~3 VPU ops per element.
 
@@ -250,39 +272,19 @@ def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
     Numerically this differs from quantize-then-matmul only in f32
     reassociation (p·(1/(lΔ)) vs (p/l)/Δ), which can flip a rounding bin for
     values within one ulp of a bin boundary — the same measure-zero boundary
-    class the log2 kernel documents."""
-    q = q_ref[0]
+    class the log2 kernel documents.
+
+    sub_heads=2 (pair-packed): sequential per-head processing reusing the
+    same probs/mrec scratch (each head's loop 2 completes before the next
+    head's loop 1 overwrites)."""
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
     level = 2 ** sm_bits
     needs_mask = s_valid < s_total
-    bt = q.shape[0]
-
-    def body1(j, carry):
-        m, l = carry
-        k = k_ref[0, pl.ds(j * block_s, block_s), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-            s = jnp.where(col < s_valid, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        p_scratch[:, pl.ds(j * block_s, block_s)] = p
-        # one 128-wide aligned stripe per block (Mosaic requires lane-dim
-        # dynamic indices provably 128-aligned; a 1-lane store is not)
-        mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = (
-            jnp.broadcast_to(m_new, (bt, 128)))
-        l = l * jnp.exp(m - m_new) + jnp.sum(p, axis=1, keepdims=True)
-        return m_new, l
-
-    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bt, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, n_blocks, body1, (m0, l0))
-
+    dp = q_ref.shape[2]
+    ds = dp // sub_heads
+    bt = q_ref.shape[1]
     delta = delta_ref[0, 0]
-    inv_ld = 1.0 / (l * delta)
     # round-half-even via the magic-constant trick, reading the rounded
     # value out of the BIT PATTERN (jnp.round lowers to a multi-op
     # sign-handling sequence on the VPU; a float (x+magic)-magic pair gets
@@ -294,21 +296,56 @@ def _static_uniform_kernel(q_ref, k_ref, v_ref, delta_ref, o_ref,
     magic = jnp.float32(1.5 * 2 ** 23)
     c0 = jnp.int32((150 << 23) | (1 << 22))
 
-    def body2(j, acc):
-        mj = mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)][:, :1]
-        cf = jnp.exp(mj - m) * inv_ld  # (bt, 1)
-        p = p_scratch[:, pl.ds(j * block_s, block_s)]
-        x = jnp.minimum(p * cf, float(level - 1))
-        codes = jax.lax.bitcast_convert_type(x + magic, jnp.int32) - c0
-        v = v_ref[0, pl.ds(j * block_s, block_s), :]
-        return acc + jax.lax.dot_general(
-            codes.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    outs = []
+    for u in range(sub_heads):
+        sl = (u * ds, (u + 1) * ds)
+        q = q_ref[0] if sub_heads == 1 else q_ref[0][:, sl[0]:sl[1]]
 
-    acc0 = jnp.zeros((bt, v_ref.shape[2]), jnp.float32)
-    acc = jax.lax.fori_loop(0, n_blocks, body2, acc0)
-    o_ref[0] = (delta * acc).astype(o_ref.dtype)
+        def body1(j, carry, q=q, sl=sl):
+            m, l = carry
+            k = k_ref[0, pl.ds(j * block_s, block_s), :]
+            if sub_heads > 1:
+                k = k[:, sl[0]:sl[1]]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if needs_mask:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+                s = jnp.where(col < s_valid, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p_scratch[:, pl.ds(j * block_s, block_s)] = p
+            # one 128-wide aligned stripe per block (Mosaic requires lane-dim
+            # dynamic indices provably 128-aligned; a 1-lane store is not)
+            mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)] = (
+                jnp.broadcast_to(m_new, (bt, 128)))
+            l = l * jnp.exp(m - m_new) + jnp.sum(p, axis=1, keepdims=True)
+            return m_new, l
+
+        m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bt, 1), jnp.float32)
+        m, l = jax.lax.fori_loop(0, n_blocks, body1, (m0, l0))
+
+        inv_ld = 1.0 / (l * delta)
+
+        def body2(j, acc, m=m, inv_ld=inv_ld, sl=sl):
+            mj = mrec_scratch[:, pl.ds(pl.multiple_of(j * 128, 128), 128)][:, :1]
+            cf = jnp.exp(mj - m) * inv_ld  # (bt, 1)
+            p = p_scratch[:, pl.ds(j * block_s, block_s)]
+            x = jnp.minimum(p * cf, float(level - 1))
+            codes = jax.lax.bitcast_convert_type(x + magic, jnp.int32) - c0
+            v = v_ref[0, pl.ds(j * block_s, block_s), :]
+            if sub_heads > 1:
+                v = v[:, sl[0]:sl[1]]
+            return acc + jax.lax.dot_general(
+                codes.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc0 = jnp.zeros((bt, ds), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_blocks, body2, acc0)
+        outs.append((delta * acc).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if sub_heads == 1 else jnp.concatenate(outs, axis=1)
 
 
 # ---------------------------------- two-call log2 real_time (alternate) -----
@@ -347,7 +384,7 @@ def _accum_kernel(q_ref, k_ref, v_ref, m_ref, l_ref, delta_ref, o_ref, *,
 # ------------------------------------ fused two-phase log2 real_time --------
 def _rt_fused_kernel(q_ref, k_ref, v_ref, o_ref, ml_scr, red_smem, *,
                      scale, s_valid, t_valid, block_s, sm_bits, start_peak,
-                     n_tiles):
+                     n_tiles, sub_heads=1):
     """log2 real_time quantized attention in ONE pallas_call.
 
     The dynamic delta is a GLOBAL reduction over every row's normalizer
@@ -378,73 +415,100 @@ def _rt_fused_kernel(q_ref, k_ref, v_ref, o_ref, ml_scr, red_smem, *,
     i = pl.program_id(2)
     cell = b * n_tiles + i
     bt = q_ref.shape[1]
+    dp = q_ref.shape[2]
+    ds = dp // sub_heads
 
     @pl.when(ph == 0)
     def _stats():
-        res = _stats_loop(q_ref[0], k_ref, scale=scale, s_valid=s_valid,
-                          block_s=block_s, track_nonpeak_max=start_peak)
-        m, l = res[0], res[1]
-        # phase 1 consumes (m, l) ONLY through z = m + ln(l) (both a_row and
-        # the start_peak column-0 exp), so one row per tile suffices
-        ml_scr[pl.ds(cell, 1), :] = jnp.reshape(m + jnp.log(l), (1, bt))
-
         @pl.when(cell == 0)
         def _init():
             red_smem[0] = jnp.inf
             red_smem[1] = 0.0
 
-        red_smem[0] = jnp.minimum(red_smem[0], jnp.min(l))
-        if start_peak:
-            row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
-            p2 = jnp.where(row < t_valid, jnp.exp(res[2] - m) / l, 0.0)
-            red_smem[1] = jnp.maximum(red_smem[1], jnp.max(p2))
+        for u in range(sub_heads):
+            sl = None if sub_heads == 1 else (u * ds, (u + 1) * ds)
+            q = q_ref[0] if sl is None else q_ref[0][:, sl[0]:sl[1]]
+            res = _stats_loop(q, k_ref, scale=scale, s_valid=s_valid,
+                              block_s=block_s, track_nonpeak_max=start_peak,
+                              d_slice=sl)
+            m, l = res[0], res[1]
+            # phase 1 consumes (m, l) ONLY through z = m + ln(l) (both a_row
+            # and the start_peak column-0 exp), so one row per tile/sub-head
+            ml_scr[pl.ds(cell, 1), pl.ds(u * bt, bt)] = jnp.reshape(
+                m + jnp.log(l), (1, bt))
+
+            red_smem[0] = jnp.minimum(red_smem[0], jnp.min(l))
+            if start_peak:
+                row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
+                p2 = jnp.where(row < t_valid, jnp.exp(res[2] - m) / l, 0.0)
+                red_smem[1] = jnp.maximum(red_smem[1], jnp.max(p2))
 
     @pl.when(ph == 1)
     def _accum():
-        z = jnp.reshape(ml_scr[pl.ds(cell, 1), :], (bt, 1))
         delta = red_smem[1] if start_peak else 1.0 / red_smem[0]
-        acc = _quant_accum_loop(
-            q_ref[0], k_ref, v_ref, z, None, delta,
-            scale=scale, s_valid=s_valid, block_s=block_s, sm_mode="log2",
-            sm_bits=sm_bits, start_peak=start_peak, z_row=True,
-        )
-        o_ref[0] = acc.astype(o_ref.dtype)
+        outs = []
+        for u in range(sub_heads):
+            sl = None if sub_heads == 1 else (u * ds, (u + 1) * ds)
+            q = q_ref[0] if sl is None else q_ref[0][:, sl[0]:sl[1]]
+            z = jnp.reshape(ml_scr[pl.ds(cell, 1), pl.ds(u * bt, bt)], (bt, 1))
+            acc = _quant_accum_loop(
+                q, k_ref, v_ref, z, None, delta,
+                scale=scale, s_valid=s_valid, block_s=block_s, sm_mode="log2",
+                sm_bits=sm_bits, start_peak=start_peak, z_row=True, d_slice=sl,
+            )
+            outs.append(acc.astype(o_ref.dtype))
+        o_ref[0] = outs[0] if sub_heads == 1 else jnp.concatenate(outs, axis=1)
 
 
 # ------------------------------------------------------- single-pass FP -----
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s):
-    q = q_ref[0]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_valid, block_s,
+                  sub_heads=1):
+    """Classic single-pass flash. sub_heads=2: the pair-packed layout — the
+    128-lane block holds two 64-wide head slots, processed sequentially with
+    64-wide contractions (half the lane-padding MXU waste of one-head-per-
+    128 for SD's 40-wide heads; zero waste for SDXL's 64-wide ones)."""
     s_total = k_ref.shape[1]
     n_blocks = s_total // block_s
-    bt = q.shape[0]
-    d = v_ref.shape[2]
+    dp = q_ref.shape[2]
+    ds = dp // sub_heads
+    bt = q_ref.shape[1]
     needs_mask = s_valid < s_total
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_s, block_s), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
-            s = jnp.where(col < s_valid, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        corr = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, pl.ds(j * block_s, block_s), :]
-        acc = acc * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l, acc
+    outs = []
+    for u in range(sub_heads):
+        sl = (u * ds, (u + 1) * ds)
+        q = q_ref[0] if sub_heads == 1 else q_ref[0][:, sl[0]:sl[1]]
 
-    m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bt, 1), jnp.float32)
-    acc0 = jnp.zeros((bt, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+        def body(j, carry, q=q, sl=sl):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(j * block_s, block_s), :]
+            if sub_heads > 1:
+                k = k[:, sl[0]:sl[1]]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if needs_mask:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_s
+                s = jnp.where(col < s_valid, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[0, pl.ds(j * block_s, block_s), :]
+            if sub_heads > 1:
+                v = v[:, sl[0]:sl[1]]
+            acc = acc * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        m0 = jnp.full((bt, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bt, 1), jnp.float32)
+        acc0 = jnp.zeros((bt, ds), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        outs.append((acc / l).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if sub_heads == 1 else jnp.concatenate(outs, axis=1)
 
 
 # ----------------------------------------------------------------- API ------
@@ -737,12 +801,29 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
                             interpret, rt_impl):
     """Packed head-slot dispatch: arrays stay (B, T/S, H*dp); the BlockSpec
     lane index carves per-head dp-wide slots, so no activation transpose/pad
-    ever materializes. Kernel bodies are the same as the unpacked path."""
+    ever materializes. Kernel bodies are the same as the unpacked path.
+
+    dp == 64 (pair-packed, even head count): each 128-lane block holds TWO
+    64-wide head slots; the grid runs over head PAIRS and the kernel
+    processes both slots sequentially with 64-wide contractions. SD's
+    40-wide heads then pay a 64/40 lane tax instead of 128/40, and SDXL's
+    64-wide heads none at all — on both the attention dots and (via the
+    matching weight packing) the projection matmul widths."""
     h_n = num_heads
     b, t, qc = q.shape
     s = k.shape[1]
     dp = qc // h_n
     bh = b * h_n
+    sub = 1
+    if dp == 64:
+        if h_n % 2:
+            raise ValueError("pair-packed layout needs an even head count")
+        sub = 2
+    elif dp % 128:
+        raise ValueError(f"packed head slot width {dp} must be 64 or a "
+                         "multiple of 128")
+    hc = h_n // sub          # head-slot cells per batch row
+    slot_w = dp * sub        # lane width of one grid cell's block
     if block_s is None:
         if sm_mode == "uniform" and not start_peak:
             block_s = 4096
@@ -772,10 +853,10 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
     out_shape = jax.ShapeDtypeStruct((b, t, h_n * dp), q.dtype)
 
     def q_spec(bt_):
-        return pl.BlockSpec((1, bt_, dp), lambda j, i: (j // h_n, i, j % h_n),
+        return pl.BlockSpec((1, bt_, slot_w), lambda j, i: (j // hc, i, j % hc),
                             memory_space=pltpu.VMEM)
 
-    kv_spec = pl.BlockSpec((1, sp, dp), lambda j, i: (j // h_n, 0, j % h_n),
+    kv_spec = pl.BlockSpec((1, sp, slot_w), lambda j, i: (j // hc, 0, j % hc),
                            memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=4 * bh * t * sp * dp,
@@ -785,8 +866,8 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
 
     if sm_mode == "none":
         return pl.pallas_call(
-            functools.partial(_flash_kernel, **common),
-            grid=(bh, n_tiles),
+            functools.partial(_flash_kernel, **common, sub_heads=sub),
+            grid=(b * hc, n_tiles),
             in_specs=[q_spec(bt), kv_spec, kv_spec],
             out_specs=q_spec(bt),
             out_shape=out_shape,
@@ -801,14 +882,15 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
             bt_s //= 2
         while t % bt_s:
             bt_s //= 2
-        grid_s = (bh, t // bt_s)
+        grid_s = (b * hc, t // bt_s)
         delta_arr = jnp.reshape(sm_delta, (1, 1)).astype(jnp.float32)
         delta_spec = pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)
         if sm_mode == "uniform" and not start_peak:
             return pl.pallas_call(
                 functools.partial(
-                    _static_uniform_kernel, **common, sm_bits=sm_bits),
+                    _static_uniform_kernel, **common, sm_bits=sm_bits,
+                    sub_heads=sub),
                 grid=grid_s,
                 in_specs=[q_spec(bt_s), kv_spec, kv_spec, delta_spec],
                 out_specs=q_spec(bt_s),
@@ -825,7 +907,7 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
         return pl.pallas_call(
             functools.partial(
                 _static_quant_kernel, **common, sm_mode=sm_mode,
-                sm_bits=sm_bits, start_peak=start_peak),
+                sm_bits=sm_bits, start_peak=start_peak, sub_heads=sub),
             grid=grid_s,
             in_specs=[q_spec(bt_s), kv_spec, kv_spec, delta_spec],
             out_specs=q_spec(bt_s),
@@ -838,27 +920,27 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
     assert sm_mode == "log2_real_time", f"unknown sm_mode {sm_mode!r}"
     # the fused two-phase kernel is the only packed real_time structure
     # (the two_call alternate exists for A/B on the unpacked path only)
-    rt_q = pl.BlockSpec((1, bt, dp), lambda p, j, i: (j // h_n, i, j % h_n),
+    rt_q = pl.BlockSpec((1, bt, slot_w), lambda p, j, i: (j // hc, i, j % hc),
                         memory_space=pltpu.VMEM)
-    rt_k = pl.BlockSpec((1, sp, dp), lambda p, j, i: (j // h_n, 0, j % h_n),
+    rt_k = pl.BlockSpec((1, sp, slot_w), lambda p, j, i: (j // hc, 0, j % hc),
                         memory_space=pltpu.VMEM)
     # V is only read in phase 1; park phase 0 on head-slot 0 of batch 0
-    rt_v = pl.BlockSpec((1, sp, dp),
-                        lambda p, j, i: (p * (j // h_n), 0, p * (j % h_n)),
+    rt_v = pl.BlockSpec((1, sp, slot_w),
+                        lambda p, j, i: (p * (j // hc), 0, p * (j % hc)),
                         memory_space=pltpu.VMEM)
-    rt_o = pl.BlockSpec((1, bt, dp),
-                        lambda p, j, i: (p * (j // h_n), p * i, p * (j % h_n)),
+    rt_o = pl.BlockSpec((1, bt, slot_w),
+                        lambda p, j, i: (p * (j // hc), p * i, p * (j % hc)),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
             _rt_fused_kernel, **common, t_valid=t, sm_bits=sm_bits,
-            start_peak=start_peak, n_tiles=n_tiles),
-        grid=(2, bh, n_tiles),
+            start_peak=start_peak, n_tiles=n_tiles, sub_heads=sub),
+        grid=(2, b * hc, n_tiles),
         in_specs=[rt_q, rt_k, rt_v],
         out_specs=rt_o,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((bh * n_tiles, bt), jnp.float32),
+            pltpu.VMEM((b * hc * n_tiles, sub * bt), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
         ],
         interpret=interpret,

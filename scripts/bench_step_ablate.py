@@ -71,9 +71,11 @@ def main():
 
     from dgq_tpu.calib.weight_calib import pack_attention_heads
 
-    # packed variant of the same folded weights (tiny one-time pads on-device)
-    params_pk = pack_attention_heads(params_q, spec, num_heads=8)
-    jax.block_until_ready(params_pk)
+    # packed variants of the same folded weights (tiny one-time pads
+    # on-device): pair-packed 64-wide slots (default) and 128-wide slots
+    params_pk = pack_attention_heads(params_q, spec, num_heads=8, slot=64)
+    params_pk128 = pack_attention_heads(params_q, spec, num_heads=8, slot=128)
+    jax.block_until_ready((params_pk, params_pk128))
 
     if "--group" in sys.argv:
         # g=8 flagship decomposition: isolate the group-conv taps cost from
@@ -140,12 +142,19 @@ def main():
          {"a": {n: qp for n, qp in qstate["a"].items()
                 if "aqtizer" not in n}, "sm": {}}),
     ]
+    # every PACKED row at both slot widths: pair-packed 64 (default) and 128
+    rows = []
     for label, cfg, qs in configs:
+        if cfg.packed_attention:
+            rows.append((label + " s64", cfg, qs, params_pk))
+            rows.append((label + " s128", cfg, qs, params_pk128))
+        else:
+            rows.append((label, cfg, qs, params_q))
+    for label, cfg, qs, pp in rows:
         fn = jax.jit(lambda p, xx, tt, ee, q, c=cfg: unet_sd_apply(
             p, xx, tt, ee, qstate=q, cfg=c))
-        pp = params_pk if cfg.packed_attention else params_q
         dt = timeit(fn, (pp, x, t, ehs, qs))
-        print(f"{label:26s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
+        print(f"{label:30s} {dt*1e3:7.2f} ms/fwd  {FLOPS/dt/1e12:6.1f} TF/s")
 
 
 if __name__ == "__main__":

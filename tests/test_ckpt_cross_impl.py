@@ -146,7 +146,11 @@ def test_reference_save_our_load(tmp_path):
     ours = _ours_forward(params_q, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                          jnp.asarray(temb))
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
-    assert np.allclose(ours, ref_out, atol=1e-5), np.abs(ours - ref_out).max()
+    # atol: the layout-aware norms use one-pass E[x^2]-E[x]^2 stats and a
+    # folded x*A+B emission (models/layers.py group_norm), a ~1e-7-relative
+    # reassociation vs torch's two-pass form that amplifies to ~1e-5 absolute
+    # through the quantized convs of this tiny UNet
+    assert np.allclose(ours, ref_out, atol=5e-5), np.abs(ours - ref_out).max()
 
 
 def _promote_aqtizers(qnn):
@@ -336,4 +340,8 @@ def test_our_save_reference_load(tmp_path):
     ours = _ours_forward(params_q, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                          jnp.asarray(temb))
     ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
-    assert np.allclose(ours, ref_out, atol=1e-5), np.abs(ours - ref_out).max()
+    # atol: the layout-aware norms use one-pass E[x^2]-E[x]^2 stats and a
+    # folded x*A+B emission (models/layers.py group_norm), a ~1e-7-relative
+    # reassociation vs torch's two-pass form that amplifies to ~1e-5 absolute
+    # through the quantized convs of this tiny UNet
+    assert np.allclose(ours, ref_out, atol=5e-5), np.abs(ours - ref_out).max()

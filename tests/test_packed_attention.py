@@ -33,8 +33,11 @@ def _pack(x, h, d, dp):
     ("log2_real_time", True),
 ])
 @pytest.mark.parametrize("t,s", [(128, 128), (128, 77)])
-def test_packed_kernel_matches_unpacked(sm_mode, start_peak, t, s):
-    h, d, dp, b = 2, 40, 128, 2
+@pytest.mark.parametrize("dp", [128, 64])
+def test_packed_kernel_matches_unpacked(sm_mode, start_peak, t, s, dp):
+    # dp=128: one head per lane-aligned slot; dp=64: the pair-packed layout
+    # (two 64-wide head slots per 128-lane kernel block)
+    h, d, b = 2, 40, 2
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(k1, (b * h, t, d), jnp.float32)
     k = jax.random.normal(k2, (b * h, s, d), jnp.float32)
@@ -61,11 +64,12 @@ def test_packed_kernel_matches_unpacked(sm_mode, start_peak, t, s):
                                rtol=0, atol=5e-4)
 
 
-def test_pack_attention_heads_weights():
+@pytest.mark.parametrize("slot,dp", [(128, 128), (64, 64)])
+def test_pack_attention_heads_weights(slot, dp):
     from dgq_tpu.calib.weight_calib import pack_attention_heads
 
     rng = np.random.default_rng(0)
-    inner, cross, h = 80, 48, 2  # head_dim 40 -> dp 128
+    inner, cross, h = 80, 48, 2  # head_dim 40 -> dp 128 (slot 128) / 64 (pair)
     spec = [
         ("blk.attn1.to_q", "linear", (inner, inner, False)),
         ("blk.attn1.to_k", "linear", (cross, inner, False)),
@@ -79,9 +83,8 @@ def test_pack_attention_heads_weights():
             "w": jnp.asarray(rng.normal(size=(i_d, o_d)), jnp.float32),
             "b": jnp.asarray(rng.normal(size=(o_d,)), jnp.float32) if bias else None,
         }
-    packed = pack_attention_heads(params, spec, num_heads=h)
+    packed = pack_attention_heads(params, spec, num_heads=h, slot=slot)
     assert packed["blk.ff"] is params["blk.ff"]  # untouched leaf shared
-    dp = 128
     assert packed["blk.attn1.to_q"]["w"].shape == (inner, h * dp)
     assert packed["blk.attn1.to_out.0"]["w"].shape == (h * dp, inner)
     # projection outputs: packed == unpacked per head slot, zeros beyond
@@ -100,7 +103,8 @@ def test_pack_attention_heads_weights():
         np.asarray(o @ params["blk.attn1.to_out.0"]["w"]), rtol=0, atol=1e-5)
 
 
-def test_attention_packed_model_path():
+@pytest.mark.parametrize("slot", [128, 64])
+def test_attention_packed_model_path(slot):
     """attention() end to end: packed weights + packed_attention cfg vs the
     plain path, quantized config (uniform softmax + q/k/v aqtizers)."""
     from dgq_tpu.calib.weight_calib import pack_attention_heads
@@ -135,7 +139,7 @@ def test_attention_packed_model_path():
                    use_pallas_attention=True)
     ref = attention(params, prefix, x, None, h, qstate, cfg0)
 
-    packed = pack_attention_heads(params, spec, num_heads=h)
+    packed = pack_attention_heads(params, spec, num_heads=h, slot=slot)
     cfg1 = cfg0.replace(packed_attention=True)
     got = attention(packed, prefix, x, None, h, qstate, cfg1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
