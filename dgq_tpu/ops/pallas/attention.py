@@ -683,6 +683,8 @@ def fused_attention(
             out_specs=pl.BlockSpec((1, bt_s, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bh, tp_s, dp), q.dtype),
             scratch_shapes=[pltpu.VMEM((bt_s, sp), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=4 * bh * tp_s * sp * dp,
@@ -725,6 +727,8 @@ def fused_attention(
             pltpu.VMEM((bh * n_tiles, bt), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tp * sp * dp,
@@ -913,6 +917,8 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
             out_specs=q_spec(bt_s),
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((bt_s, sp), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
             cost_estimate=cost,
         )(q, k, v, delta_arr)
@@ -943,6 +949,8 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
             pltpu.VMEM((b * hc * n_tiles, sub * bt), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=cost,
     )(q, k, v)

@@ -216,7 +216,9 @@ def make_euler(num_inference_steps: int, num_train_timesteps: int = 1000,
 
 
 def euler_scale_model_input(latents: jax.Array, sigma: jax.Array) -> jax.Array:
-    return latents / jnp.sqrt(sigma ** 2 + 1.0)
+    """Math in f32, result in the latents' dtype (see ddim_step)."""
+    x = latents.astype(jnp.float32) / jnp.sqrt(sigma.astype(jnp.float32) ** 2 + 1.0)
+    return x.astype(latents.dtype)
 
 
 def euler_step(latents: jax.Array, eps: jax.Array, sigma: jax.Array,

@@ -6,10 +6,32 @@ in-memory cache only helps within one process). Safe to call more than once.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
+
+def host_cpu_tag() -> str:
+    """Short hash of the host's CPU feature flags.
+
+    XLA:CPU AOT cache entries bake in the compile machine's feature set;
+    loading them on a host with different features SIGILLs/segfaults (the
+    loader only warns). Salting the cache path with the feature flags makes
+    an entry written on one machine invisible to a different one."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 _DEFAULT_DIR = os.environ.get(
-    "DGQ_COMPILATION_CACHE", os.path.expanduser("~/.cache/dgq_tpu_xla"))
+    "DGQ_COMPILATION_CACHE",
+    os.path.expanduser(f"~/.cache/dgq_tpu_xla_{host_cpu_tag()}"))
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:

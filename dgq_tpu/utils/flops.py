@@ -154,7 +154,15 @@ def spec_roofline(spec, latent_hw: int = 64, batch: int = 8, seq: int = 77,
                     tq = h * h
                     ts = seq if ".attn2." in name else tq
                     hd = attn_head_dim or max(cout // heads, 1)
-                    pad = max(mxu_lane / hd, 1.0)  # lane-padding tax
+                    # lane-padding tax: heads pad to the smallest slot the
+                    # kernel can address — 64 lanes via the pair-packed
+                    # layout (two heads per 128-lane block; SD's 40-wide
+                    # heads run at 64/40, SDXL's 64-wide at 1.0), otherwise
+                    # the next mxu_lane multiple. An architectural cost of
+                    # the model's head shape, not a software gap.
+                    g = 64 if (mxu_lane == 128 and hd <= 64) else mxu_lane
+                    slot = -(-hd // g) * g
+                    pad = max(slot / hd, 1.0)
                     macs += int(batch * 2 * tq * ts * cout * pad)  # flash
             else:  # per-sample vectors (time embedding)
                 macs = batch * cin * cout

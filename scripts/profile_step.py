@@ -32,11 +32,16 @@ B = 8
 def main():
     dtype = jnp.bfloat16
     spec = sd_unet_spec()
+    packed = "--no-packed" not in sys.argv
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_unet_sd(jax.random.PRNGKey(0), spec=spec, fast=True)
         cfgq = QConfig(w_bits=4, a_bits=8, softmax_bits=8, use_wq=True,
-                       use_aq=True, use_pallas_attention=True)
+                       use_aq=True, use_pallas_attention=True,
+                       packed_attention=packed)
         params_q, _ = quantize_model_weights(params, spec, cfgq, Scaler.MINMAX)
+        if packed:
+            from dgq_tpu.calib.weight_calib import pack_attention_heads
+            params_q = pack_attention_heads(params_q, spec, num_heads=8)
         params_q = jax.tree.map(
             lambda x: x.astype(dtype) if x is not None and x.dtype == jnp.float32 else x,
             params_q, is_leaf=lambda x: x is None)

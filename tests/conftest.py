@@ -13,8 +13,29 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent compile cache keeps repeated full-model test runs fast
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgq_jax_cache")
+# persistent compile cache keeps repeated full-model test runs fast. The
+# path is salted with the host CPU feature flags: XLA:CPU AOT entries bake
+# in the compile machine's features, and loading an entry from a different
+# machine SIGILLs/segfaults (observed when the driver moved hosts between
+# rounds — the loader only warns). Inlined (not imported from
+# dgq_tpu.utils.cache) because importing the package would import jax before
+# the env var below is set, and jax reads it at import time.
+import hashlib  # noqa: E402
+
+
+def _host_cpu_tag():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nohost"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/dgq_jax_cache_{_host_cpu_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
