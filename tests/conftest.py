@@ -37,7 +37,32 @@ def _host_cpu_tag():
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       f"/tmp/dgq_jax_cache_{_host_cpu_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# torch (the reference oracle) and XLA:CPU each bring their own OpenMP/
+# threadpool; on a 1-core cgroup host the duplicated runtimes have produced
+# native crashes mid-suite. One thread each is also faster there.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Deterministic mid-suite XLA:CPU compiler segfault observed on the 1-core
+# round-5 host: after ~190 tests of in-process compile history, the NEXT
+# compilation (a trivial threefry split in test_sdxl_forward_tiny)
+# segfaults inside backend_compile_and_load — while the same test passes in
+# a fresh process, and a 15-test subset ending at the same test passes too.
+# Dropping the accumulated live executables periodically keeps the process
+# below whatever JIT-code/allocator state triggers it; recompiles hit the
+# persistent disk cache, so the cost is load-time only.
+_TESTS_BETWEEN_CACHE_CLEARS = 40
+_test_counter = {"n": 0}
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _TESTS_BETWEEN_CACHE_CLEARS == 0:
+        jax.clear_caches()
