@@ -636,7 +636,8 @@ def quant_linear(
     return linear(p, aq_apply(qstate, cfg, name, x).astype(x.dtype))
 
 
-def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
+def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5,
+               stats_barrier: bool = False) -> jax.Array:
     """GroupNorm over NHWC (channel-last). Statistics in f32 (bf16-safe).
 
     Layout-aware: the naive form (reshape to (B, HW, G, C/G), mean/var over
@@ -657,7 +658,20 @@ def group_norm(p, x: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Arra
     """
     b, h, w, c = x.shape
     cg = c // groups
-    xf = x.astype(jnp.float32)
+    # stats_barrier: identity optimization_barrier between the producer
+    # (conv) and the stats reads. At VAE-decode sizes XLA spatially windows
+    # the convolutions and output-fuses the norm's x^2 computation into
+    # them, materializing (and layout-copying) an f32 x^2 tensor — measured
+    # 194 -> 137 ms per 4x512px decode with the barrier (both reductions
+    # then input-fuse over the bf16 activation). At UNet sizes the same
+    # barrier is ~0.5 ms/fwd SLOWER (no windowing pathology to block), so
+    # it is per-call-site: pipeline/vae.py passes True, the UNet path does
+    # not. DGQ_NORM_IMPL=barrier|"" (trace-time env) overrides for A/B
+    # (scripts/profile_vae.py, scripts/bench_step_ablate.py).
+    impl = os.environ.get("DGQ_NORM_IMPL")
+    use_barrier = stats_barrier if impl is None else (impl == "barrier")
+    xs = jax.lax.optimization_barrier(x) if use_barrier else x
+    xf = xs.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2))       # (B, C), same-pass ...
     s2 = jnp.sum(xf * xf, axis=(1, 2))  # ... multi-output fusion
     g1 = jnp.sum(jnp.reshape(s1, (b, groups, cg)), axis=2)  # (B, G)

@@ -31,10 +31,10 @@ FLASH_KV_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 def _resnet(p, prefix, x):
-    h = group_norm(p[f"{prefix}.norm1"], x, eps=1e-6)
+    h = group_norm(p[f"{prefix}.norm1"], x, eps=1e-6, stats_barrier=True)
     h = silu(h)
     h = conv2d(p[f"{prefix}.conv1"], h, 1, 1)
-    h = group_norm(p[f"{prefix}.norm2"], h, eps=1e-6)
+    h = group_norm(p[f"{prefix}.norm2"], h, eps=1e-6, stats_barrier=True)
     h = silu(h)
     h = conv2d(p[f"{prefix}.conv2"], h, 1, 1)
     if f"{prefix}.conv_shortcut" in p:
@@ -45,7 +45,7 @@ def _resnet(p, prefix, x):
 def _attn(p, prefix, x):
     b, h, w, c = x.shape
     res = x
-    x = group_norm(p[f"{prefix}.group_norm"], x, eps=1e-6)
+    x = group_norm(p[f"{prefix}.group_norm"], x, eps=1e-6, stats_barrier=True)
     x = jnp.reshape(x, (b, h * w, c))
     q = jnp.dot(x, p[f"{prefix}.to_q"]["w"]) + p[f"{prefix}.to_q"]["b"]
     k = jnp.dot(x, p[f"{prefix}.to_k"]["w"]) + p[f"{prefix}.to_k"]["b"]
@@ -103,7 +103,7 @@ def vae_decode(params: dict, latents: jax.Array, scale: float = SD_VAE_SCALE) ->
         if i < 3:
             x = upsample_nearest2x(x)
             x = conv2d(params[f"decoder.up_blocks.{i}.upsamplers.0.conv"], x, 1, 1)
-    x = group_norm(params["decoder.conv_norm_out"], x, eps=1e-6)
+    x = group_norm(params["decoder.conv_norm_out"], x, eps=1e-6, stats_barrier=True)
     x = silu(x)
     x = conv2d(params["decoder.conv_out"], x, 1, 1)
     return x
