@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """MXU K-width probe: does a K=64 contraction cost half a K=128 one?
 
+FINDING: the isolated numbers were noise-dominated on the contended host
+(the wide rows timed impossibly slow and non-monotonically in bh), but the
+probe established the two legality facts the pair-packed layout needs —
+64-offset static lane slices of loaded values and K=64 dots both compile
+under Mosaic — and the end-to-end arbiter (scripts/bench_step_ablate.py
+slot A/B) measured the pair layout faster on every deploy config
+(g1 75.8 -> 73.0 ms/fwd, rt 88.6 -> 84.9, fp 67.1 -> 66.2).
+
 Kernel A: per key-block, one (bt,128)@(128,bs) dot ("wide": one head padded
 to 128 lanes). Kernel B: same VMEM blocks, sliced into two 64-lane halves,
 two (bt,64)@(64,bs) dots ("pair": two heads at 64). Same total lanes read;

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Can the packed head-slot attention run with 64-wide slots?
-
-The packed layout currently pads every head to a 128-lane slot; SD's 40-wide
-heads (the 64px level) thus pay a 3.2x lane tax on QK^T/PV and on the
-projection widths. The unpacked kernel already uses 64-wide blocks for whole
-arrays — this probes whether BlockSpec lane-carving at 64-block granularity
-inside a wider array compiles and how it times vs the 128-slot layout.
+"""Can the packed head-slot attention run with 64-wide slots? FINDING: no —
+Pallas rejects 64-lane BlockSpec blocks ("last two dimensions ... divisible
+by 8 and 128 respectively, or equal to the respective dimensions of the
+overall array"); the unpacked kernel's 64-wide blocks only work because the
+whole array's minor dim is 64. This dead end motivated the PAIR-packed
+layout (two 64-wide head slots per 128-lane block, in-kernel value slicing)
+that shipped instead — see ops/pallas/attention._fused_attention_packed.
 
 Shapes: SD 512px 64px-level self-attention (B=8, T=S=4096, H=8, d=40).
 """
