@@ -13,7 +13,10 @@ ENV = dict(
     JAX_PLATFORMS="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=2",
     PALLAS_AXON_POOL_IPS="",
-    JAX_COMPILATION_CACHE_DIR="/tmp/dgq_jax_cache",
+    # no JAX_COMPILATION_CACHE_DIR pin: the CLIs call
+    # enable_compilation_cache() at import, which selects a host-CPU-salted
+    # path (utils/cache.py) — a fixed /tmp path would resurrect the
+    # cross-host XLA:CPU AOT SIGILL hazard the salting exists to prevent
 )
 
 
