@@ -845,7 +845,12 @@ def _fused_attention_packed(q, k, v, scale, num_heads, sm_mode, sm_bits,
         k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0)))
     if block_t is None:
-        block_t = 512
+        # pair-mode real_time at big key axes prefers a 1024-row q-tile
+        # (measured 6.91 vs 7.30 ms at the 64px self-attention shape,
+        # scripts/bench_pair_blocks.py — each grid cell runs two sub-heads,
+        # so larger tiles amortize the doubled per-cell loop setup)
+        block_t = 1024 if (sub == 2 and sm_mode == "log2_real_time"
+                           and s >= 2048) else 512
         while (block_t < t and block_t < 2048
                and block_t * 2 * bs * 4 <= 2 * 1024 * 1024):
             block_t *= 2
